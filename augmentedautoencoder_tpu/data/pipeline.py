@@ -159,10 +159,13 @@ class DeviceDataset:
         cfg = self.cfg
         k_idx, k_bg, k_occ, k_rocc, k_aug = jax.random.split(rng, 5)
 
+        # without-replacement sampling like the reference (dataset.py:461-465),
+        # falling back to with-replacement for pools smaller than the batch
         n = self.train_x.shape[0]
-        idcs = jax.random.choice(k_idx, n, (batch_size,), replace=False)
+        idcs = jax.random.choice(k_idx, n, (batch_size,), replace=n < batch_size)
+        n_bg = self.bg_imgs.shape[0]
         bg_idcs = jax.random.choice(
-            k_bg, self.bg_imgs.shape[0], (batch_size,), replace=False
+            k_bg, n_bg, (batch_size,), replace=n_bg < batch_size
         )
 
         batch_x = self.train_x[idcs].astype(jnp.float32)

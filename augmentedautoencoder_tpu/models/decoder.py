@@ -1,0 +1,72 @@
+"""Decoder: dense -> (NN-upsample + conv ReLU)* -> NN-upsample -> sigmoid conv.
+
+Architecture parity with the reference (auto_pose/ae/decoder.py:36-84): the
+factory passes REVERSED filters/strides (ae_factory.py:63-66), the first
+(coarsest) spatial size comes from dividing the output size by the stride
+product, upsampling is nearest-neighbor, the final conv maps to C channels
+through a sigmoid, and an optional auxiliary mask head emits a 1-channel
+sigmoid mask from the last feature map (decoder.py:68-75).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _nn_resize(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Nearest-neighbor resize matching tf.image.resize_nearest_neighbor."""
+    b, h, w, c = x.shape
+    th, tw = size
+    ridx = (jnp.arange(th) * h // th).astype(jnp.int32)
+    cidx = (jnp.arange(tw) * w // tw).astype(jnp.int32)
+    return x[:, ridx][:, :, cidx]
+
+
+class Decoder(nn.Module):
+    """Call with the latent code; emits the reconstruction (and mask)."""
+
+    output_shape: Tuple[int, int, int] = (128, 128, 3)  # (H, W, C)
+    num_filters: Sequence[int] = (512, 512, 256, 128)  # already reversed
+    kernel_size: int = 5
+    strides: Sequence[int] = (2, 2, 2, 2)  # already reversed
+    batch_norm: bool = False
+    auxiliary_mask: bool = False
+
+    @nn.compact
+    def __call__(self, z: jax.Array, train: bool = False):
+        h, w, c = self.output_shape
+        k = self.kernel_size
+        strides = list(self.strides)
+        layer_dims = [
+            (int(h / np.prod(strides[i:])), int(w / np.prod(strides[i:])))
+            for i in range(len(strides))
+        ]
+
+        x = nn.Dense(layer_dims[0][0] * layer_dims[0][1] * self.num_filters[0])(z)
+        x = nn.relu(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train)(x)
+        x = x.reshape((-1, layer_dims[0][0], layer_dims[0][1], self.num_filters[0]))
+
+        for filters, layer_size in zip(self.num_filters[1:], layer_dims[1:]):
+            x = _nn_resize(x, layer_size)
+            x = nn.Conv(filters, (k, k), padding="SAME")(x)
+            x = nn.relu(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train)(x)
+
+        x = _nn_resize(x, (h, w))
+
+        mask = None
+        if self.auxiliary_mask:
+            mask = nn.sigmoid(nn.Conv(1, (k, k), padding="SAME", name="mask_head")(x))
+
+        x = nn.sigmoid(nn.Conv(c, (k, k), padding="SAME", name="reconstruction")(x))
+        if self.auxiliary_mask:
+            return x, mask
+        return x

@@ -1,0 +1,65 @@
+"""Loss functions: bootstrapped top-k reconstruction, KL, norm regularizer.
+
+Semantics parity with the reference:
+  * bootstrapped loss (auto_pose/ae/decoder.py:86-131): per-sample flattened
+    per-element L2/L1 error, keep the top k = H*W*C // bootstrap_ratio
+    largest errors via top_k, mean over those — focusing gradient on the
+    hardest pixels (the object, not the background)
+  * mask MSE head target: pixels where the target has any intensity
+    (decoder.py:134-142)
+  * unit-norm latent regularizer (encoder.py:97-100)
+  * diagonal-Gaussian KL to N(0, I) (encoder.py:87-94)
+
+TPU notes: jax.lax.top_k over the flattened 49,152-wide error vector lowers
+to an efficient sort on the VPU; everything stays fused in the train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bootstrapped_reconstruction_loss(
+    reconstruction: jax.Array,
+    target: jax.Array,
+    bootstrap_ratio: int = 4,
+    loss_type: str = "L2",
+) -> jax.Array:
+    """Mean of the top (numel // bootstrap_ratio) per-element errors.
+
+    With bootstrap_ratio <= 1 this is the plain mean error.
+    """
+    b = reconstruction.shape[0]
+    flat_r = reconstruction.reshape(b, -1)
+    flat_t = target.reshape(b, -1)
+    if loss_type == "L2":
+        err = (flat_r - flat_t) ** 2
+    elif loss_type == "L1":
+        err = jnp.abs(flat_r - flat_t)
+    else:
+        raise ValueError(f"unknown loss: {loss_type}")
+
+    if bootstrap_ratio > 1:
+        k = err.shape[1] // bootstrap_ratio
+        topk, _ = jax.lax.top_k(err, k)
+        return topk.mean()
+    return err.mean()
+
+
+def mask_loss(pred_mask: jax.Array, target: jax.Array) -> jax.Array:
+    """MSE between the predicted mask and the target's occupancy mask."""
+    occupancy = (target.sum(axis=3, keepdims=True) > 0.0001).astype(jnp.float32)
+    return jnp.mean((occupancy - pred_mask) ** 2)
+
+
+def norm_regularizer(z: jax.Array) -> jax.Array:
+    """mean | ||z||_2 - 1 |  — pulls latents toward the unit sphere."""
+    return jnp.mean(jnp.abs(jnp.linalg.norm(z, axis=1) - 1.0))
+
+
+def kl_divergence_loss(mu: jax.Array, sigma: jax.Array) -> jax.Array:
+    """KL( N(mu, sigma^2) || N(0, 1) ), mean over batch and dims."""
+    sigma = jnp.maximum(sigma, 1e-8)
+    kl = -jnp.log(sigma) + 0.5 * (sigma**2 + mu**2) - 0.5
+    return kl.mean()

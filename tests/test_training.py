@@ -1,0 +1,157 @@
+"""Training tests: fused step convergence, 8-device sharding, checkpoints."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from augmentedautoencoder_tpu.config import TrainConfig
+from augmentedautoencoder_tpu.data import augment_spec as S
+from augmentedautoencoder_tpu.data.pipeline import DeviceDataset
+from augmentedautoencoder_tpu.models import AAE
+from augmentedautoencoder_tpu.parallel import make_mesh
+from augmentedautoencoder_tpu.training import (
+    CheckpointManager,
+    Trainer,
+    create_train_state,
+    make_train_step,
+)
+
+KEY = jax.random.PRNGKey(0)
+H = W = 32
+
+
+def tiny_cfg(**kw):
+    cfg = TrainConfig(h=H, w=W, c=3, latent_space_size=8)
+    cfg.num_filter = [4, 8]
+    cfg.strides = [2, 2]
+    cfg.batch_size = 16
+    cfg.learning_rate = 1e-3
+    cfg.noof_training_imgs = 32
+    cfg.code = S.Sequential([S.Sometimes(0.5, S.Multiply(mul=(0.8, 1.2)))])
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def tiny_dataset(cfg):
+    rng = np.random.RandomState(0)
+    n = cfg.noof_training_imgs
+    train_x = rng.randint(0, 255, (n, H, W, 3), dtype=np.uint8)
+    train_y = train_x.copy()
+    masks = np.zeros((n, H, W), bool)
+    bg = rng.randint(0, 255, (4, H, W, 3), dtype=np.uint8)
+    return DeviceDataset(cfg, train_x, masks, train_y, bg)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        cfg = tiny_cfg()
+        ds = tiny_dataset(cfg)
+        model = AAE.from_config(cfg)
+        state = create_train_state(KEY, cfg, model)
+        step = make_train_step(model, ds, cfg.batch_size)
+        first = None
+        for _ in range(30):
+            state, losses = step(state, KEY)
+            if first is None:
+                first = float(losses["total_loss"])
+        assert float(losses["total_loss"]) < first
+
+    def test_step_deterministic_from_seed(self):
+        cfg = tiny_cfg()
+        ds = tiny_dataset(cfg)
+        model = AAE.from_config(cfg)
+        step = make_train_step(model, ds, cfg.batch_size)
+        s1 = create_train_state(KEY, cfg, model)
+        s2 = create_train_state(KEY, cfg, model)
+        s1, l1 = step(s1, KEY)
+        s2, l2 = step(s2, KEY)
+        assert float(l1["total_loss"]) == float(l2["total_loss"])
+
+    def test_sharded_step_on_8_device_mesh(self):
+        assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+        cfg = tiny_cfg()
+        ds = tiny_dataset(cfg)
+        model = AAE.from_config(cfg)
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        state = create_train_state(KEY, cfg, model)
+        step = make_train_step(model, ds, cfg.batch_size, mesh=mesh)
+        state, losses = step(state, KEY)
+        assert np.isfinite(float(losses["total_loss"]))
+        # matches the unsharded step bitwise-or-close (same rng path)
+        state2 = create_train_state(KEY, cfg, model)
+        step2 = make_train_step(model, ds, cfg.batch_size)
+        state2, losses2 = step2(state2, KEY)
+        np.testing.assert_allclose(
+            float(losses["total_loss"]), float(losses2["total_loss"]), rtol=1e-4
+        )
+
+
+class TestTrainer:
+    def test_trainer_runs_and_saves(self, tmp_path):
+        cfg = tiny_cfg(num_iter=6, save_interval=3)
+        ds = tiny_dataset(cfg)
+        saved = []
+        trainer = Trainer(cfg, ds, mesh=make_mesh())
+        trainer.train(save_hook=lambda step, st: saved.append(step), progress=False)
+        assert saved == [3, 6]
+        assert int(trainer.state.step) == 6
+
+    def test_gentle_stop(self):
+        cfg = tiny_cfg(num_iter=1000, save_interval=1000)
+        ds = tiny_dataset(cfg)
+        trainer = Trainer(cfg, ds, mesh=None)
+        orig_step = trainer.step_fn
+
+        def stopping_step(state, rng):
+            trainer.request_stop()
+            return orig_step(state, rng)
+
+        trainer.step_fn = stopping_step
+        trainer.train(progress=False)
+        assert int(trainer.state.step) == 1
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        cfg = tiny_cfg()
+        state = create_train_state(KEY, cfg)
+        mgr = CheckpointManager(str(tmp_path / "ckpts"))
+        mgr.save_train_state(100, state)
+        restored = mgr.restore()
+        assert restored is not None
+        assert int(restored["step"]) == 100
+        tree_a = jax.tree.leaves(state.params)
+        tree_b = jax.tree.leaves(restored["params"])
+        for a, b in zip(tree_a, tree_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_codebook_in_checkpoint_and_carry_forward(self, tmp_path):
+        cfg = tiny_cfg()
+        state = create_train_state(KEY, cfg)
+        mgr = CheckpointManager(str(tmp_path / "ckpts"))
+        mgr.save_train_state(100, state)
+        emb = np.random.rand(50, 8).astype(np.float32)
+        bbs = np.random.randint(0, 100, (50, 4)).astype(np.int32)
+        mgr.add_codebook(emb, bbs)
+        restored = mgr.restore()
+        np.testing.assert_array_equal(restored["embedding_normalized"], emb)
+        np.testing.assert_array_equal(restored["embed_obj_bbs"], bbs)
+        # a later train-state save carries the codebook forward
+        mgr.save_train_state(200, state)
+        r2 = mgr.restore()
+        assert int(r2["step"]) == 200
+        np.testing.assert_array_equal(r2["embedding_normalized"], emb)
+
+    def test_at_step_resolution(self, tmp_path):
+        cfg = tiny_cfg()
+        state = create_train_state(KEY, cfg)
+        mgr = CheckpointManager(str(tmp_path / "ckpts"))
+        for s in (100, 200, 300):
+            mgr.save_train_state(s, state)
+        assert mgr.latest_step() == 300
+        assert mgr.resolve_step(200) == 200
+        assert mgr.resolve_step(None) == 300
+        assert mgr.resolve_step(99999) is None

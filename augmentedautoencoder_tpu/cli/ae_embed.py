@@ -1,0 +1,46 @@
+"""`ae_embed <group>/<experiment> [--at_step N]` — build the codebook.
+
+Streams all embedding view renders through the jitted encoder and re-saves
+the checkpoint with the normalized embedding + per-view bboxes inside
+(reference auto_pose/ae/ae_embed.py:53-93).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .. import factory
+from ..codebook import Codebook
+from ..training.checkpoint import CheckpointManager
+from . import split_experiment_name
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("experiment_name")
+    parser.add_argument("--at_step", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    args = parser.parse_args()
+
+    experiment_name, experiment_group = split_experiment_name(args.experiment_name)
+    cfg, paths, model, payload = factory.restore_experiment(
+        experiment_name, experiment_group, args.at_step
+    )
+    dataset = factory.build_dataset(paths["dataset_path"], cfg)
+    encode = factory.make_encode_fn(model, payload["params"], payload.get("batch_stats"))
+
+    batch_size = args.batch_size or max(cfg.batch_size, 256)
+    print(f"embedding {dataset.embedding_size} views (batch {batch_size}) ...")
+    embedding, obj_bbs = Codebook.build_embedding(
+        encode, dataset.render_embedding_image_batch, dataset.embedding_size, batch_size
+    )
+
+    mgr = CheckpointManager(paths["checkpoint_dir"])
+    path = mgr.add_codebook(
+        embedding, obj_bbs if cfg.embed_bb else None, step=args.at_step
+    )
+    print(f"codebook ({embedding.shape[0]} x {embedding.shape[1]}) saved into {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""The codebook: SO(3) view embeddings + nearest-rotation + 6D pose recovery.
+
+Reference semantics preserved (auto_pose/ae/codebook.py):
+  * rows are l2-normalized latent codes of the embedding view sphere, in
+    viewsphere order (row i -> viewsphere_for_embedding[i]); built by
+    streaming rendered view batches through the encoder (codebook.py:190-219)
+  * `nearest_rotation`: cosine argmax / top-n; `upright` restricts to
+    in-plane-rotation-free entries via the num_cyclo stride (codebook.py:55-75)
+  * `auto_pose6d`: depth from rendered-bbox/detected-bbox diagonal ratio x
+    focal ratio x render radius; x,y from bbox centers through the pinhole;
+    rotation corrected for the off-center crop by R_corr_y . R_corr_x
+    (codebook.py:79-129)
+
+TPU execution: encoding is a jitted batched forward; queries run the fused
+Pallas top-1 kernel (ops/nn_query.py) on TPU or the XLA matmul+top_k path
+elsewhere. Multi-crop, multi-object batching replaces the reference's
+one-session.run-per-crop loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TrainConfig
+from .ops import cosine_similarity_topk, cosine_top1
+from .ops.nn_query import cosine_similarities, l2_normalize
+from .utils import batch_iteration_indices
+
+Array = jax.Array
+EncodeFn = Callable[[Array], Array]  # (B,H,W,C) float in [0,1] -> (B, latent)
+
+
+class Codebook:
+    """A per-object codebook bound to an encoder."""
+
+    def __init__(
+        self,
+        encode_fn: EncodeFn,
+        viewsphere: np.ndarray,  # (N, 3, 3)
+        embedding_normalized: Optional[np.ndarray] = None,  # (N, latent)
+        embed_obj_bbs: Optional[np.ndarray] = None,  # (N, 4)
+        num_cyclo: int = 36,
+    ):
+        self._encode = encode_fn
+        self.viewsphere = np.asarray(viewsphere)
+        self.num_cyclo = int(num_cyclo)
+        self.embedding_normalized = (
+            jnp.asarray(embedding_normalized, jnp.float32)
+            if embedding_normalized is not None
+            else None
+        )
+        self.embed_obj_bbs = (
+            np.asarray(embed_obj_bbs) if embed_obj_bbs is not None else None
+        )
+
+    # ------------------------------------------------------------- build
+    @staticmethod
+    def build_embedding(
+        encode_fn: EncodeFn,
+        render_batch_fn: Callable[[int, int], Tuple[np.ndarray, np.ndarray]],
+        embedding_size: int,
+        batch_size: int = 256,
+        progress: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Stream rendered view batches through the encoder; returns
+        (embedding_normalized (N, latent), obj_bbs (N, 4))."""
+        z_chunks = []
+        bb_chunks = []
+        for a, e in batch_iteration_indices(embedding_size, batch_size):
+            if progress and a % (batch_size * 16) == 0:
+                print(f"embedding {a}/{embedding_size}")
+            batch, obj_bbs = render_batch_fn(a, e)
+            # pad ragged tail to the jitted batch shape
+            pad = batch_size - (e - a)
+            x = np.asarray(batch, np.float32)
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], np.float32)])
+            z = np.asarray(encode_fn(jnp.asarray(x)))
+            z_chunks.append(z[: e - a])
+            bb_chunks.append(np.asarray(obj_bbs))
+        z_all = np.concatenate(z_chunks)
+        z_all /= np.linalg.norm(z_all, axis=1, keepdims=True)
+        return z_all.astype(np.float32), np.concatenate(bb_chunks)
+
+    # ------------------------------------------------------------- queries
+    def _require_embedding(self):
+        if self.embedding_normalized is None:
+            raise RuntimeError(
+                "codebook embedding missing — run ae_embed for this experiment"
+            )
+
+    def _prep(self, x: Union[np.ndarray, Array]) -> Array:
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            x = x / 255.0
+        if x.ndim == 3:
+            x = x[None]
+        return jnp.asarray(x, jnp.float32)
+
+    def nearest_rotation(
+        self,
+        x: Union[np.ndarray, Array],
+        top_n: int = 1,
+        upright: bool = False,
+        return_idcs: bool = False,
+    ):
+        """Nearest codebook rotation(s) for crop(s) x.
+
+        Single crop (H,W,C): returns (3,3) [top_n=1] or (top_n,3,3).
+        Batch (B,H,W,C): top_n must be 1; returns (B,3,3).
+        """
+        self._require_embedding()
+        xb = self._prep(x)
+        z = self._encode(xb)
+
+        if top_n == 1 and not upright:
+            _, idcs = cosine_top1(z, self.embedding_normalized)
+            idcs = np.asarray(idcs)
+        else:
+            cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
+            if upright:
+                # restrict to cyclo-0 entries (codebook.py:66)
+                idcs = np.argmax(cos[:, :: self.num_cyclo], axis=1) * self.num_cyclo
+            elif top_n > 1:
+                flat = cos.squeeze(0)
+                part = np.argpartition(-flat, top_n)[:top_n]
+                idcs = part[np.argsort(-flat[part])]
+            else:
+                idcs = np.argmax(cos, axis=1)
+
+        if return_idcs:
+            return idcs
+        return self.viewsphere[idcs].squeeze()
+
+    def nearest_rotation_batch(self, x: Union[np.ndarray, Array]) -> np.ndarray:
+        self._require_embedding()
+        z = self._encode(self._prep(x))
+        _, idcs = cosine_top1(z, self.embedding_normalized)
+        return self.viewsphere[np.asarray(idcs)]
+
+    def test_embedding(self, x, normalized: bool = True) -> np.ndarray:
+        z = self._encode(self._prep(x))
+        if normalized:
+            z = l2_normalize(z)
+        return np.asarray(z).squeeze()
+
+    # ------------------------------------------------------------- 6D pose
+    def auto_pose6d(
+        self,
+        x: Union[np.ndarray, Array],
+        predicted_bb: Sequence[float],
+        K_test: np.ndarray,
+        top_n: int,
+        train_cfg: TrainConfig,
+        depth_pred: Optional[float] = None,
+        upright: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Full 6D estimate for one crop: returns (Rs_est (top_n,3,3),
+        ts_est (top_n,3)) — reference codebook.py:79-129."""
+        self._require_embedding()
+        if self.embed_obj_bbs is None:
+            raise RuntimeError("codebook has no embedded bboxes (EMBED_BB off)")
+        idcs = np.atleast_1d(
+            self.nearest_rotation(x, top_n=top_n, upright=upright, return_idcs=True)
+        )
+        Rs_est = self.viewsphere[idcs].copy()
+
+        K_train = train_cfg.K
+        render_radius = train_cfg.radius
+        K_test = np.asarray(K_test, dtype=np.float64)
+
+        K_diag_ratio = np.sqrt(K_test[0, 0] ** 2 + K_test[1, 1] ** 2) / np.sqrt(
+            K_train[0, 0] ** 2 + K_train[1, 1] ** 2
+        )
+
+        predicted_bb = np.asarray(predicted_bb, dtype=np.float64)
+        ts_est = np.empty((len(idcs), 3))
+        for i, idx in enumerate(idcs):
+            rendered_bb = np.asarray(self.embed_obj_bbs[idx]).squeeze()
+            if depth_pred is None:
+                bb_diag_ratio = np.linalg.norm(
+                    np.float32(rendered_bb[2:])
+                ) / np.linalg.norm(np.float32(predicted_bb[2:]))
+                z = bb_diag_ratio * K_diag_ratio * render_radius
+            else:
+                z = depth_pred
+
+            cx_train = rendered_bb[0] + rendered_bb[2] / 2.0 - K_train[0, 2]
+            cy_train = rendered_bb[1] + rendered_bb[3] / 2.0 - K_train[1, 2]
+            cx_test = predicted_bb[0] + predicted_bb[2] / 2.0 - K_test[0, 2]
+            cy_test = predicted_bb[1] + predicted_bb[3] / 2.0 - K_test[1, 2]
+
+            tx = cx_test * z / K_test[0, 0] - cx_train * render_radius / K_train[0, 0]
+            ty = cy_test * z / K_test[1, 1] - cy_train * render_radius / K_train[1, 1]
+            t_est = np.array([tx, ty, z])
+            ts_est[i] = t_est
+
+            # rotation correction: the codebook holds CENTERED views; rotate
+            # so appearance is preserved at the off-center crop location
+            d_alpha_y = np.arctan(t_est[0] / np.sqrt(t_est[2] ** 2 + t_est[1] ** 2))
+            d_alpha_x = -np.arctan(t_est[1] / t_est[2])
+            ca, sa = np.cos(d_alpha_x), np.sin(d_alpha_x)
+            cb, sb = np.cos(d_alpha_y), np.sin(d_alpha_y)
+            R_corr_x = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+            R_corr_y = np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
+            Rs_est[i] = R_corr_y @ R_corr_x @ Rs_est[i]
+        return Rs_est, ts_est

@@ -81,9 +81,12 @@ class CheckpointManager:
         return path
 
     def save_train_state(self, step: int, state, extra: Optional[Dict[str, Any]] = None) -> str:
+        # opt_state is stored as flattened leaves: optax states are
+        # NamedTuples whose structure orbax cannot rebuild without a target;
+        # the live train state supplies the treedef at restore time
         payload: Dict[str, Any] = {
             "params": jax.device_get(state.params),
-            "opt_state": jax.device_get(state.opt_state),
+            "opt_state": jax.device_get(jax.tree.leaves(state.opt_state)),
         }
         if state.batch_stats is not None:
             payload["batch_stats"] = jax.device_get(state.batch_stats)
@@ -104,6 +107,26 @@ class CheckpointManager:
         if step is None:
             return None
         return self._ckptr.restore(self.path_for_step(step))
+
+    def restore_train_state(self, state, step: Optional[int] = None):
+        """Restore into a live train state (supplies the opt_state treedef).
+
+        Returns (state, payload) or (state, None) when no checkpoint exists.
+        """
+        payload = self.restore(step)
+        if payload is None:
+            return state, None
+        opt_state = state.opt_state
+        if "opt_state" in payload:
+            treedef = jax.tree.structure(state.opt_state)
+            opt_state = jax.tree.unflatten(treedef, payload["opt_state"])
+        state = state.replace(
+            params=payload["params"],
+            opt_state=opt_state,
+            step=int(payload["step"]),
+            batch_stats=payload.get("batch_stats", state.batch_stats),
+        )
+        return state, payload
 
     def add_codebook(
         self,

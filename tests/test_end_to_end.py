@@ -1,0 +1,191 @@
+"""End-to-end slice through the real CLI surface:
+
+  ae_init_workspace -> ae_train (render + train) -> ae_embed (codebook)
+  -> nearest_rotation self-retrieval on embedding renders.
+
+Uses a procedural icosphere PLY, tiny dims, the numpy rasterizer — fully
+hermetic (no GL, no assets, no TPU).
+"""
+
+import os
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+TINY_CFG = textwrap.dedent(
+    """
+    [Paths]
+    MODEL_PATH: {model_path}
+    BACKGROUND_IMAGES_GLOB: {bg_glob}
+
+    [Dataset]
+    MODEL: reconst
+    H: 32
+    W: 32
+    C: 3
+    RADIUS: 300
+    RENDER_DIMS: (90, 68)
+    K: [100, 0, 45, 0, 100, 34, 0, 0, 1]
+    VERTEX_SCALE: 1
+    ANTIALIASING: 1
+    PAD_FACTOR: 1.2
+    CLIP_NEAR: 10
+    CLIP_FAR: 10000
+    NOOF_TRAINING_IMGS: 16
+    NOOF_BG_IMGS: 8
+
+    [Augmentation]
+    REALISTIC_OCCLUSION: False
+    SQUARE_OCCLUSION: False
+    MAX_REL_OFFSET: 0.2
+    CODE: Sequential([
+        Sometimes(0.5, Add((-25, 25), per_channel=0.3)),
+        Sometimes(0.5, Multiply((0.6, 1.4)))
+        ], random_order=False)
+
+    [Embedding]
+    EMBED_BB: True
+    MIN_N_VIEWS: 12
+    NUM_CYCLO: 4
+
+    [Network]
+    BATCH_NORMALIZATION: False
+    AUXILIARY_MASK: False
+    VARIATIONAL: 0
+    LOSS: L2
+    BOOTSTRAP_RATIO: 4
+    NORM_REGULARIZE: 0
+    LATENT_SPACE_SIZE: 16
+    NUM_FILTER: [8, 16]
+    STRIDES: [2, 2]
+    KERNEL_SIZE_ENCODER: 5
+    KERNEL_SIZE_DECODER: 5
+
+    [Training]
+    OPTIMIZER: Adam
+    NUM_ITER: 10
+    BATCH_SIZE: 8
+    LEARNING_RATE: 1e-3
+    SAVE_INTERVAL: 10
+
+    [Queue]
+    NUM_THREADS: 1
+    QUEUE_SIZE: 2
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    import cv2
+
+    from augmentedautoencoder_tpu.renderer.procedural import make_icosphere, save_ply
+
+    root = tmp_path_factory.mktemp("ws")
+    ws_path = str(root / "workspace")
+
+    model_path = str(root / "sphere.ply")
+    save_ply(make_icosphere(subdivisions=2, radius=60.0), model_path)
+
+    bg_dir = root / "bg"
+    bg_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        cv2.imwrite(str(bg_dir / f"bg_{i}.jpg"), rng.randint(0, 255, (48, 64, 3), np.uint8))
+
+    os.environ["AE_WORKSPACE_PATH"] = ws_path
+    from augmentedautoencoder_tpu.cli import ae_init_workspace
+
+    ae_init_workspace.main()
+
+    cfg_text = TINY_CFG.format(model_path=model_path, bg_glob=str(bg_dir / "*.jpg"))
+    with open(os.path.join(ws_path, "cfg", "e2e_obj.cfg"), "w") as fh:
+        fh.write(cfg_text)
+    return ws_path
+
+
+def run_cli(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    module.main()
+
+
+@pytest.mark.e2e
+class TestEndToEnd:
+    def test_full_pipeline(self, workspace, monkeypatch):
+        from augmentedautoencoder_tpu.cli import ae_embed, ae_train
+
+        # ---- train (renders the dataset, runs 10 fused iterations, saves)
+        run_cli(ae_train, ["e2e_obj"], monkeypatch)
+        log_dir = os.path.join(workspace, "experiments", "e2e_obj")
+        assert os.path.exists(os.path.join(log_dir, "e2e_obj.cfg"))
+        ckpt_dir = os.path.join(log_dir, "checkpoints")
+        assert any(n.startswith("chkpt-") for n in os.listdir(ckpt_dir))
+        figs = os.listdir(os.path.join(log_dir, "train_figures"))
+        assert any(n.startswith("training_images_") for n in figs)
+
+        # ---- debug mode writes the augmented grid without training further
+        run_cli(ae_train, ["e2e_obj", "-d"], monkeypatch)
+        assert "debug_augmented_batch.png" in os.listdir(
+            os.path.join(log_dir, "train_figures")
+        )
+
+        # ---- embed
+        run_cli(ae_embed, ["e2e_obj", "--batch_size", "16"], monkeypatch)
+
+        # ---- infer: self-retrieval of embedding renders
+        from augmentedautoencoder_tpu import factory
+
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        n = dataset.embedding_size
+        assert codebook.embedding_normalized.shape == (n, 16)
+        assert codebook.embed_obj_bbs.shape == (n, 4)
+
+        batch, _ = dataset.render_embedding_image_batch(0, 8)
+        idcs = codebook.nearest_rotation(
+            (batch * 255).astype(np.uint8)[0], return_idcs=True
+        )
+        assert int(idcs[0]) == 0  # exact self-retrieval of view 0
+
+        Rs = codebook.nearest_rotation_batch(batch.astype(np.float32))
+        recovered = [int(codebook.nearest_rotation(batch[i].astype(np.float32),
+                                                   return_idcs=True)[0]) for i in range(8)]
+        # the encoder is barely trained; self-retrieval must still be exact
+        # because identical inputs produce identical codes. NB indices are
+        # recovered up to duplicate rotations: linspace(0, 2pi, num_cyclo)
+        # includes both endpoints (reference dataset.py:54), so cyclo index
+        # num_cyclo-1 duplicates cyclo 0 — compare rotations, not indices.
+        for i, r in enumerate(recovered):
+            np.testing.assert_allclose(
+                codebook.viewsphere[r], codebook.viewsphere[i], atol=1e-12
+            )
+        assert Rs.shape == (8, 3, 3)
+
+        # ---- full 6D on a rendered view through auto_pose6d
+        cfg = dataset.cfg
+        x = (batch[3] * 255).astype(np.uint8)
+        bb = codebook.embed_obj_bbs[3]
+        Rs_est, ts_est = codebook.auto_pose6d(x, bb, cfg.K, 1, cfg)
+        np.testing.assert_allclose(ts_est[0, 2], cfg.radius, rtol=1e-5)
+        np.testing.assert_allclose(Rs_est[0], codebook.viewsphere[3], atol=1e-5)
+
+    def test_resume_from_checkpoint(self, workspace, monkeypatch):
+        from augmentedautoencoder_tpu.cli import ae_train
+
+        # bump NUM_ITER and retrain: must resume from step 10, not restart
+        cfg_path = os.path.join(workspace, "cfg", "e2e_obj.cfg")
+        with open(cfg_path) as fh:
+            text = fh.read()
+        with open(cfg_path, "w") as fh:
+            fh.write(text.replace("NUM_ITER: 10", "NUM_ITER: 14"))
+        run_cli(ae_train, ["e2e_obj"], monkeypatch)
+        from augmentedautoencoder_tpu.training import CheckpointManager
+
+        mgr = CheckpointManager(os.path.join(workspace, "experiments", "e2e_obj", "checkpoints"))
+        assert mgr.latest_step() == 14
+        restored = mgr.restore()
+        # codebook from the earlier ae_embed carried forward
+        assert "embedding_normalized" in restored

@@ -209,3 +209,74 @@ class Codebook:
             R_corr_y = np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
             Rs_est[i] = R_corr_y @ R_corr_x @ Rs_est[i]
         return Rs_est, ts_est
+
+    def auto_pose6d_batch(
+        self,
+        xs: Union[np.ndarray, Array],
+        bbs: np.ndarray,
+        K_test: np.ndarray,
+        train_cfg: TrainConfig,
+        depth_pred: Optional[np.ndarray] = None,
+        upright: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized 6D pose for a batch of crops: ONE encode dispatch, one
+        fused top-1 query, numpy-vectorized translation + rotation correction.
+
+        xs: (B,H,W,C); bbs: (B,4) xywh in pixels. Returns (Rs (B,3,3),
+        ts (B,3), idcs (B,)). Replaces the reference's per-crop session.run
+        loop (ae_pose_estimator.py:143-229).
+        """
+        self._require_embedding()
+        if self.embed_obj_bbs is None:
+            raise RuntimeError("codebook has no embedded bboxes (EMBED_BB off)")
+        xb = self._prep(xs)
+        z = self._encode(xb)
+        if upright:
+            cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
+            idcs = np.argmax(cos[:, :: self.num_cyclo], axis=1) * self.num_cyclo
+        else:
+            _, idcs = cosine_top1(z, self.embedding_normalized)
+            idcs = np.asarray(idcs)
+
+        Rs = self.viewsphere[idcs].copy()
+        rendered_bbs = np.asarray(self.embed_obj_bbs[idcs], dtype=np.float64)
+        bbs = np.asarray(bbs, dtype=np.float64)
+
+        K_train = train_cfg.K
+        radius = train_cfg.radius
+        K_test = np.asarray(K_test, dtype=np.float64)
+        K_diag_ratio = np.sqrt(K_test[0, 0] ** 2 + K_test[1, 1] ** 2) / np.sqrt(
+            K_train[0, 0] ** 2 + K_train[1, 1] ** 2
+        )
+
+        if depth_pred is None:
+            diag_ratio = np.linalg.norm(
+                rendered_bbs[:, 2:].astype(np.float32), axis=1
+            ) / np.linalg.norm(bbs[:, 2:].astype(np.float32), axis=1)
+            z_est = diag_ratio * K_diag_ratio * radius
+        else:
+            z_est = np.broadcast_to(np.asarray(depth_pred, np.float64), (len(bbs),))
+
+        cx_train = rendered_bbs[:, 0] + rendered_bbs[:, 2] / 2.0 - K_train[0, 2]
+        cy_train = rendered_bbs[:, 1] + rendered_bbs[:, 3] / 2.0 - K_train[1, 2]
+        cx_test = bbs[:, 0] + bbs[:, 2] / 2.0 - K_test[0, 2]
+        cy_test = bbs[:, 1] + bbs[:, 3] / 2.0 - K_test[1, 2]
+
+        tx = cx_test * z_est / K_test[0, 0] - cx_train * radius / K_train[0, 0]
+        ty = cy_test * z_est / K_test[1, 1] - cy_train * radius / K_train[1, 1]
+        ts = np.stack([tx, ty, z_est], axis=1)
+
+        d_ay = np.arctan(tx / np.sqrt(z_est**2 + ty**2))
+        d_ax = -np.arctan(ty / z_est)
+        ca, sa = np.cos(d_ax), np.sin(d_ax)
+        cb, sb = np.cos(d_ay), np.sin(d_ay)
+        zeros = np.zeros_like(ca)
+        ones = np.ones_like(ca)
+        R_corr_x = np.stack(
+            [ones, zeros, zeros, zeros, ca, -sa, zeros, sa, ca], axis=1
+        ).reshape(-1, 3, 3)
+        R_corr_y = np.stack(
+            [cb, zeros, sb, zeros, ones, zeros, -sb, zeros, cb], axis=1
+        ).reshape(-1, 3, 3)
+        Rs = R_corr_y @ R_corr_x @ Rs
+        return Rs, ts, idcs

@@ -1,0 +1,179 @@
+"""AePoseEstimator: multi-object 6D pose from detections + codebooks.
+
+Mirrors auto_pose/m3_interface/ae_pose_estimator.py: a test config maps class
+names to per-object experiments; `process(bboxes, color_img, camK)` returns
+4x4 `PoseEstimate`s in meters (mm with mm=True), optionally transformed by
+camPose.
+
+TPU execution model: detections are grouped BY CLASS and each class's crops
+run through one batched encode + one fused codebook query — replacing the
+reference's per-detection session.run loop (ae_pose_estimator.py:143-229).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .. import factory
+from ..cli import split_experiment_name
+from ..config import safe_eval
+from .interfaces import BoundingBox, PoseEstimate, PoseEstInterface, Roi3D
+
+
+def extract_square_patch_centered(
+    scene_img: np.ndarray,
+    bb_xywh,
+    pad_factor: float,
+    resize=(128, 128),
+    interpolation: str = "linear",
+    black_borders: bool = False,
+) -> np.ndarray:
+    """Square patch on a zero (black) canvas, bbox centered.
+
+    This is the INFERENCE crop variant (ae_pose_estimator.py:106-131): unlike
+    the training-time extract_square_patch it pastes the crop into a black
+    size x size canvas, so off-image regions and (with black_borders) pixels
+    outside the detected box are zero.
+    """
+    import cv2
+
+    x, y, w, h = np.array(bb_xywh).astype(np.int32)
+    size = int(np.maximum(h, w) * pad_factor)
+
+    scene_crop = np.zeros((size, size, 3), dtype=np.uint8)
+    if black_borders:
+        scene_crop[
+            (size - h) // 2 : (size - h) // 2 + h,
+            (size - w) // 2 : (size - w) // 2 + w,
+        ] = scene_img[y : y + h, x : x + w].copy()
+    else:
+        left = int(np.maximum(x + w / 2 - size / 2, 0))
+        right = int(np.minimum(x + w / 2 + size / 2, scene_img.shape[1]))
+        top = int(np.maximum(y + h / 2 - size / 2, 0))
+        bottom = int(np.minimum(y + h / 2 + size / 2, scene_img.shape[0]))
+        size_h, size_w = bottom - top, right - left
+        scene_crop[
+            (size - size_h) // 2 : (size - size_h) // 2 + size_h,
+            (size - size_w) // 2 : (size - size_w) // 2 + size_w,
+        ] = scene_img[top:bottom, left:right].copy()
+
+    interp = cv2.INTER_LINEAR if interpolation == "linear" else cv2.INTER_NEAREST
+    return cv2.resize(scene_crop, resize, interpolation=interp)
+
+
+class AePoseEstimator(PoseEstInterface):
+    """Many per-object codebooks behind one `process` call."""
+
+    def __init__(self, test_config_path):
+        test_args = self.get_params(test_config_path)
+
+        self._camPose = test_args.getboolean("auto_pose", "camPose")
+        self._upright = test_args.getboolean("auto_pose", "upright")
+        self._topk = test_args.getint("auto_pose", "topk")
+        if self._topk > 1:
+            raise NotImplementedError("topk > 1 not implemented")
+
+        self._process_requirements = ["color_img", "camK", "bboxes"]
+        if self._camPose:
+            self._process_requirements.append("camPose")
+
+        _dtypes = {"np.float32": np.float32, "np.float64": np.float64, "np.uint8": np.uint8}
+        self._image_format = {
+            "color_format": test_args.get("auto_pose", "color_format"),
+            "color_data_type": _dtypes.get(
+                test_args.get("auto_pose", "color_data_type"), np.float32
+            ),
+            "depth_data_type": _dtypes.get(
+                test_args.get("auto_pose", "depth_data_type"), np.float32
+            ),
+        }
+
+        self.class_2_encoder = safe_eval(test_args.get("auto_pose", "class_2_encoder"))
+
+        self.all_codebooks: Dict = {}
+        self.all_train_cfgs: Dict = {}
+        self.pad_factors: Dict = {}
+        self.patch_sizes: Dict = {}
+
+        for class_name, experiment in self.class_2_encoder.items():
+            experiment_name, experiment_group = split_experiment_name(experiment)
+            cfg, _ = factory.load_experiment_config(experiment_name, experiment_group)
+            self.all_train_cfgs[class_name] = cfg
+            self.pad_factors[class_name] = cfg.pad_factor
+            self.patch_sizes[class_name] = (cfg.w, cfg.h)
+            self.all_codebooks[class_name] = factory.build_codebook_from_name(
+                experiment_name, experiment_group
+            )
+
+    # ------------------------------------------------------------- contract
+    def set_parameter(self, string_name: str, string_val: str) -> None:
+        pass
+
+    def query_process_requirements(self) -> List[str]:
+        return self._process_requirements
+
+    def query_image_format(self) -> Dict:
+        return self._image_format
+
+    # ------------------------------------------------------------- process
+    def process(
+        self,
+        bboxes: Sequence[BoundingBox] = (),
+        color_img: Optional[np.ndarray] = None,
+        depth_img: Optional[np.ndarray] = None,
+        camK: Optional[np.ndarray] = None,
+        camPose: Optional[np.ndarray] = None,
+        rois3ds: Sequence[Roi3D] = (),
+        mm: bool = False,
+    ) -> List[PoseEstimate]:
+        H, W = color_img.shape[:2]
+
+        # group detections by class for batched encoding
+        by_class: Dict[str, List[int]] = {}
+        box_xywhs: List[Optional[List[float]]] = []
+        for j, box in enumerate(bboxes):
+            pred_class = box.best_class
+            if pred_class not in self.class_2_encoder:
+                print(f"{pred_class} not in configured classes {list(self.class_2_encoder)}")
+                box_xywhs.append(None)
+                continue
+            xywh = box.to_xywh(W, H)
+            if np.any(np.array(xywh) < 0):
+                print(f"invalid bb {xywh}")
+                box_xywhs.append(None)
+                continue
+            box_xywhs.append(xywh)
+            by_class.setdefault(pred_class, []).append(j)
+
+        results: List[Optional[PoseEstimate]] = [None] * len(bboxes)
+        for class_name, det_idcs in by_class.items():
+            cfg = self.all_train_cfgs[class_name]
+            crops = np.stack(
+                [
+                    extract_square_patch_centered(
+                        color_img,
+                        box_xywhs[j],
+                        self.pad_factors[class_name],
+                        resize=self.patch_sizes[class_name],
+                        interpolation="linear",
+                        black_borders=True,
+                    )
+                    for j in det_idcs
+                ]
+            )
+            bbs = np.stack([box_xywhs[j] for j in det_idcs])
+            Rs, ts, _ = self.all_codebooks[class_name].auto_pose6d_batch(
+                crops, bbs, camK, cfg, upright=self._upright
+            )
+            for k, j in enumerate(det_idcs):
+                H_est = np.eye(4)
+                H_est[:3, :3] = Rs[k]
+                H_est[:3, 3] = ts[k] if mm else ts[k] / 1000.0
+                if self._camPose:
+                    H_est = camPose @ H_est
+                results[j] = PoseEstimate(name=bboxes[j].best_class, trafo=H_est)
+
+        return [r for r in results if r is not None]

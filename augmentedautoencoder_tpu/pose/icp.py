@@ -1,0 +1,262 @@
+"""Depth-based ICP pose refinement, device-accelerated.
+
+Algorithm parity with the reference (auto_pose/eval/icp_utils.py,
+auto_pose/icp/icp.py): SVD best-fit with `depth_only` (translation-z only)
+and `no_depth` (x,y,R only) modes, NN-correspondence ICP with mean-error
+tolerance, outlier pre-gating by distance to the synthetic centroid, and the
+20-degree rotation-change rejection.
+
+The reference's per-iteration sklearn KD-tree query is replaced by a jitted
+brute-force distance matrix: at the reference's own operating point
+(N=3000 subsampled points, icp_utils.py:14) the 3000x3000 matmul-shaped
+distance computation is a perfect MXU fit, and the whole ICP loop runs as
+one lax.while_loop on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.misc import rgbd_to_point_cloud
+from ..geometry.transform import rotation_angle
+
+N_SUB = 3000  # reference subsample size (icp_utils.py:14)
+ANGLE_CHANGE_LIMIT = 20.0 * np.pi / 180.0  # icp_utils.py:18
+
+
+@functools.partial(jax.jit, static_argnames=("depth_only", "no_depth"))
+def best_fit_transform_jax(
+    A: jax.Array, B: jax.Array, depth_only: bool = False, no_depth: bool = False
+) -> jax.Array:
+    """Least-squares rigid transform mapping A onto B; returns 4x4 T."""
+    centroid_A = A.mean(axis=0)
+    centroid_B = B.mean(axis=0)
+
+    if depth_only:
+        R = jnp.eye(3)
+        d = centroid_B - centroid_A
+        t = jnp.array([0.0, 0.0, 1.0]) * d[2]
+    else:
+        AA = A - centroid_A
+        BB = B - centroid_B
+        H = AA.T @ BB
+        U, S, Vt = jnp.linalg.svd(H)
+        R = Vt.T @ U.T
+        # reflection guard: flip the last right-singular vector if det < 0
+        flip = jnp.where(jnp.linalg.det(R) < 0, -1.0, 1.0)
+        Vt = Vt.at[-1, :].multiply(flip)
+        R = Vt.T @ U.T
+        t = centroid_B - R @ centroid_A
+        if no_depth:
+            t = t * jnp.array([1.0, 1.0, 0.0])
+
+    T = jnp.eye(4)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    return T
+
+
+@jax.jit
+def nearest_neighbor_jax(src: jax.Array, dst: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Brute-force NN: for each src point the closest dst point.
+
+    ||s - d||^2 = |s|^2 - 2 s.d + |d|^2 — the cross term is one MXU matmul.
+    """
+    cross = src @ dst.T
+    d2 = (src * src).sum(1, keepdims=True) - 2.0 * cross + (dst * dst).sum(1)[None, :]
+    idx = jnp.argmin(d2, axis=1)
+    dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], 0.0))
+    return dist, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "depth_only", "no_depth")
+)
+def icp_jax(
+    A: jax.Array,
+    B: jax.Array,
+    max_iterations: int = 100,
+    tolerance: float = 1e-6,
+    depth_only: bool = False,
+    no_depth: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """On-device ICP loop; returns (T 4x4, mean_error, iterations)."""
+
+    def cond(carry):
+        i, src, prev_err, err, done = carry
+        return (~done) & (i < max_iterations)
+
+    def body(carry):
+        i, src, prev_err, err, _ = carry
+        dist, idx = nearest_neighbor_jax(src, B)
+        T = best_fit_transform_jax(src, B[idx], depth_only=depth_only, no_depth=no_depth)
+        src_new = src @ T[:3, :3].T + T[:3, 3]
+        mean_err = dist.mean()
+        done = jnp.abs(prev_err - mean_err) < tolerance
+        return i + 1, src_new, mean_err, mean_err, done
+
+    init = (jnp.int32(0), A, jnp.float32(0.0), jnp.float32(jnp.inf), jnp.bool_(False))
+    iters, src_final, _, err, _ = jax.lax.while_loop(cond, body, init)
+
+    T = best_fit_transform_jax(A, src_final, depth_only=depth_only, no_depth=no_depth)
+    return T, err, iters
+
+
+def icp(
+    A: np.ndarray,
+    B: np.ndarray,
+    init_pose: Optional[np.ndarray] = None,
+    max_iterations: int = 100,
+    tolerance: float = 1e-6,
+    depth_only: bool = False,
+    no_depth: bool = False,
+):
+    """Host-facing ICP (same contract as the reference icp_utils.icp)."""
+    A = np.asarray(A, np.float32)
+    B = np.asarray(B, np.float32)
+    if init_pose is not None:
+        A = A @ init_pose[:3, :3].T + init_pose[:3, 3]
+    T, err, iters = icp_jax(
+        jnp.asarray(A), jnp.asarray(B),
+        max_iterations=max_iterations, tolerance=tolerance,
+        depth_only=depth_only, no_depth=no_depth,
+    )
+    return np.asarray(T), float(err), int(iters)
+
+
+def best_fit_transform(A, B, depth_only=False, no_depth=False):
+    """Host-facing best-fit (reference icp_utils.best_fit_transform)."""
+    T = np.asarray(
+        best_fit_transform_jax(
+            jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32),
+            depth_only=depth_only, no_depth=no_depth,
+        )
+    )
+    return T, T[:3, :3], T[:3, 3]
+
+
+class SynRenderer:
+    """Renders the estimated pose's depth for ICP (icp_utils.py:178-218).
+
+    `renderer` is any object with the Renderer.render contract (the cad-model
+    software rasterizer in this build)."""
+
+    def __init__(self, renderer, clip_near: float = 10.0, clip_far: float = 10000.0):
+        self.renderer = renderer
+        self.clip_near = clip_near
+        self.clip_far = clip_far
+
+    def generate_synthetic_depth(self, K_test, R_est, t_est, test_shape, obj_id=0):
+        W, H = test_shape[:2]
+        _, depth = self.renderer.render(
+            obj_id, W, H, K_test, R_est, np.array([0.0, 0.0, t_est[2]]),
+            self.clip_near, self.clip_far, random_light=False,
+        )
+        return rgbd_to_point_cloud(K_test, depth)[0]
+
+    def render_trafo(self, K_test, R_est, t_est, test_shape, obj_id=0):
+        W, H = test_shape[:2]
+        bgr, depth = self.renderer.render(
+            obj_id, W, H, K_test, R_est, np.asarray(t_est),
+            self.clip_near, self.clip_far, random_light=False,
+        )
+        return bgr, depth
+
+
+def icp_refinement(
+    depth_crop: np.ndarray,
+    icp_renderer: SynRenderer,
+    R_est: np.ndarray,
+    t_est: np.ndarray,
+    K_test: np.ndarray,
+    test_render_dims,
+    depth_only: bool = False,
+    no_depth: bool = False,
+    max_mean_dist_factor: float = 2.0,
+    obj_id: int = 0,
+    rng: Optional[np.random.RandomState] = None,
+):
+    """One refinement pass (reference icp_utils.icp_refinement:248-305)."""
+    rng = rng or np.random
+    synthetic_pts = icp_renderer.generate_synthetic_depth(
+        K_test, R_est, t_est, test_render_dims, obj_id=obj_id
+    )
+    if len(synthetic_pts) == 0:
+        return R_est, t_est
+    centroid_syn = synthetic_pts.mean(axis=0)
+    max_mean_dist = np.max(np.linalg.norm(synthetic_pts - centroid_syn, axis=1))
+
+    K_crop = np.asarray(K_test, np.float64).copy()
+    K_crop[0, 2] = depth_crop.shape[0] / 2
+    K_crop[1, 2] = depth_crop.shape[1] / 2
+    real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
+
+    dist_to_syn = np.linalg.norm(real_pts - centroid_syn, axis=1)
+    real_pts = real_pts[dist_to_syn < max_mean_dist_factor * max_mean_dist]
+
+    if len(real_pts) < len(synthetic_pts) / 8.0:
+        return R_est, t_est  # not enough visible points
+
+    n = int(min(len(real_pts), len(synthetic_pts), N_SUB))
+    sub_real = rng.choice(len(real_pts), n)
+    sub_syn = rng.choice(len(synthetic_pts), n)
+    T, _, _ = icp(
+        synthetic_pts[sub_syn], real_pts[sub_real],
+        tolerance=1e-6, depth_only=depth_only, no_depth=no_depth,
+    )
+
+    if no_depth and abs(rotation_angle(T[:3, :3])) > ANGLE_CHANGE_LIMIT:
+        T = np.eye(4)  # reject implausible rotation jumps
+
+    H_est = np.eye(4)
+    H_est[:3, :3] = R_est
+    H_est[:3, 3] = t_est
+    H_refined = T @ H_est
+    return H_refined[:3, :3], H_refined[:3, 3]
+
+
+class ICP:
+    """Multi-object runtime ICP (reference auto_pose/icp/icp.py): the
+    3-stage refinement used by eval — tz-only ICP, x,y re-estimate via
+    auto_pose6d(depth_pred=tz), then rotation-only ICP."""
+
+    def __init__(self, renderers: dict):
+        """renderers: class/object name -> SynRenderer."""
+        self.renderers = renderers
+
+    def refine(
+        self,
+        depth_crop,
+        R_est,
+        t_est,
+        K_test,
+        test_render_dims,
+        class_name=None,
+        codebook=None,
+        det_img=None,
+        det_bb=None,
+        train_cfg=None,
+        upright: bool = False,
+    ):
+        syn = self.renderers[class_name] if class_name else next(iter(self.renderers.values()))
+        # stage 1: depth-only alignment
+        R1, t1 = icp_refinement(
+            depth_crop, syn, R_est, t_est, K_test, test_render_dims, depth_only=True
+        )
+        # stage 2: re-estimate x,y at the corrected depth
+        if codebook is not None and det_img is not None:
+            Rs, ts = codebook.auto_pose6d(
+                det_img, det_bb, K_test, 1, train_cfg,
+                depth_pred=t1[2], upright=upright,
+            )
+            R1, t1 = Rs[0], ts[0]
+        # stage 3: rotation-only with angle-change rejection
+        R2, t2 = icp_refinement(
+            depth_crop, syn, R1, t1, K_test, test_render_dims, no_depth=True
+        )
+        return R2, t2

@@ -1,0 +1,118 @@
+"""Pose API + ICP tests."""
+
+import numpy as np
+import pytest
+
+from augmentedautoencoder_tpu.geometry import transform
+from augmentedautoencoder_tpu.pose.icp import (
+    best_fit_transform,
+    icp,
+    icp_refinement,
+    nearest_neighbor_jax,
+    SynRenderer,
+)
+from augmentedautoencoder_tpu.pose.interfaces import BoundingBox, PoseEstimate, Roi3D
+
+
+class TestInterfaces:
+    def test_bounding_box(self):
+        bb = BoundingBox(0.1, 0.2, 0.5, 0.6, classes={"obj_05": 0.9, "obj_06": 0.3})
+        assert bb.best_class == "obj_05"
+        assert bb.to_xywh(100, 200) == [10.0, 40.0, 40.0, 80.0]
+
+    def test_bounding_box_validation(self):
+        with pytest.raises(AssertionError):
+            BoundingBox(-0.1, 0, 1, 1)
+
+    def test_pose_estimate(self):
+        p = PoseEstimate(name="x", trafo=np.eye(4))
+        assert p.trafo.shape == (4, 4)
+        with pytest.raises(AssertionError):
+            PoseEstimate(trafo=np.eye(3))
+
+    def test_roi3d(self):
+        r = Roi3D(shape="sphere", scale=[1, 2, 3])
+        assert r.shape == "sphere"
+
+
+def random_cloud(n=500, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, 3) * 100.0).astype(np.float32)
+
+
+class TestBestFit:
+    def test_recovers_known_transform(self):
+        A = random_cloud()
+        R = transform.rotation_matrix(0.4, [1, 2, 3])[:3, :3]
+        t = np.array([5.0, -3.0, 10.0])
+        B = A @ R.T + t
+        T, R_est, t_est = best_fit_transform(A, B)
+        np.testing.assert_allclose(R_est, R, atol=1e-4)
+        np.testing.assert_allclose(t_est, t, atol=1e-3)
+
+    def test_depth_only(self):
+        A = random_cloud()
+        B = A + np.array([5.0, 7.0, 20.0])
+        T, R_est, t_est = best_fit_transform(A, B, depth_only=True)
+        np.testing.assert_allclose(R_est, np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(t_est, [0, 0, 20.0], atol=1e-3)
+
+    def test_no_depth_zeroes_tz(self):
+        A = random_cloud()
+        B = A + np.array([5.0, 7.0, 20.0])
+        T, R_est, t_est = best_fit_transform(A, B, no_depth=True)
+        assert abs(t_est[2]) < 1e-6
+        np.testing.assert_allclose(t_est[:2], [5.0, 7.0], atol=1e-3)
+
+
+class TestICP:
+    def test_nearest_neighbor(self):
+        src = np.array([[0, 0, 0], [10, 0, 0]], np.float32)
+        dst = np.array([[9.5, 0, 0], [0.5, 0, 0], [50, 0, 0]], np.float32)
+        dist, idx = nearest_neighbor_jax(src, dst)
+        np.testing.assert_array_equal(np.asarray(idx), [1, 0])
+        np.testing.assert_allclose(np.asarray(dist), [0.5, 0.5], atol=1e-5)
+
+    def test_icp_converges_small_perturbation(self):
+        A = random_cloud(800)
+        R = transform.rotation_matrix(0.1, [0, 1, 0])[:3, :3]
+        t = np.array([2.0, -1.0, 3.0])
+        B = A @ R.T + t
+        T, err, iters = icp(A, B, tolerance=1e-9)
+        np.testing.assert_allclose(T[:3, :3], R, atol=1e-2)
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.5)
+        assert err < 0.5
+
+
+class TestICPRefinement:
+    def test_depth_refinement_on_fake_sphere(self):
+        from augmentedautoencoder_tpu.renderer import FakeRenderer
+
+        K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]])
+        fake = FakeRenderer(object_radius=60.0)
+        syn = SynRenderer(fake)
+
+        # "real" depth: sphere at z=700; estimate starts 60mm too close
+        _, depth_gt = fake.render(0, 160, 120, K, np.eye(3), np.array([0, 0, 700.0]), 10, 10000)
+        # crop centered on principal point, like eval's depth crops
+        K_centered = K.copy()
+        R0 = np.eye(3)
+        t0 = np.array([0.0, 0.0, 640.0])
+        R1, t1 = icp_refinement(
+            depth_gt, syn, R0, t0, K, (160, 120), depth_only=True,
+            rng=np.random.RandomState(0),
+        )
+        assert abs(t1[2] - 700.0) < abs(t0[2] - 700.0)  # moved toward truth
+        np.testing.assert_allclose(R1, R0, atol=1e-6)  # depth_only keeps R
+
+    def test_rejects_when_object_invisible(self):
+        from augmentedautoencoder_tpu.renderer import FakeRenderer
+
+        K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]])
+        fake = FakeRenderer(object_radius=60.0)
+        syn = SynRenderer(fake)
+        empty_depth = np.zeros((120, 160), np.float32)
+        R0, t0 = np.eye(3), np.array([0.0, 0.0, 700.0])
+        R1, t1 = icp_refinement(empty_depth, syn, R0, t0, K, (160, 120))
+        np.testing.assert_array_equal(R1, R0)
+        np.testing.assert_array_equal(t1, t0)

@@ -46,7 +46,9 @@ def create_train_state(
     if model is None:
         model = AAE.from_config(cfg)
     dummy = jnp.zeros((1,) + tuple(cfg.shape), jnp.float32)
-    variables = model.init(rng, dummy, dummy, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, dummy, dummy, train=False
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     return AAETrainState.create(

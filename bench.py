@@ -41,7 +41,7 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (BATCH, 128, 128, 3), jnp.float32)
-    variables = model.init(rng, x, x)
+    variables = jax.jit(model.init)(rng, x, x)
     params = variables["params"]
 
     npr = np.random.RandomState(0)

@@ -1,0 +1,102 @@
+"""`ae_eval <group>/<experiment> <eval_name> [--eval_cfg eval.cfg]` — full
+single-object evaluation (reference auto_pose/eval/ae_eval.py).
+
+Loads test scenes (BOP json or legacy sixd yaml layout), estimates poses via
+the batched codebook path (+optional ICP), computes the configured error
+metrics natively, scores 6D localization recall, and writes results,
+scores, and plots under <log_dir>/eval/<eval_name>/<data>.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from .. import factory
+from .. import workspace as ws
+from ..config.eval_config import load_eval_config
+from ..evaluation import plots
+from ..evaluation.evaluator import Evaluator
+from . import split_experiment_name
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("experiment_name")
+    parser.add_argument("evaluation_name")
+    parser.add_argument("--eval_cfg", default="eval.cfg")
+    parser.add_argument("--at_step", type=int, default=None)
+    args = parser.parse_args()
+
+    experiment_name, experiment_group = split_experiment_name(args.experiment_name)
+    workspace_path = ws.get_workspace_path()
+
+    eval_cfg_path = ws.get_eval_config_file_path(workspace_path, args.eval_cfg)
+    eval_cfg = load_eval_config(eval_cfg_path)
+
+    codebook, dataset = factory.build_codebook_from_name(
+        experiment_name, experiment_group, return_dataset=True, at_step=args.at_step
+    )
+    train_cfg = dataset.cfg
+
+    # model geometry for add/adi/proj + vsd rendering
+    model_pts = None
+    model_diameter = None
+    renderer = None
+    if os.path.exists(train_cfg.model_path):
+        from ..renderer.mesh import load_mesh
+
+        mesh = load_mesh(
+            train_cfg.model_path,
+            vertex_scale=train_cfg.vertex_scale,
+            cache_dir=ws.get_dataset_path(workspace_path),
+        )
+        model_pts = mesh.vertices
+        model_diameter = mesh.diameter
+        renderer = dataset.renderer
+
+    icp_handle = None
+    if eval_cfg.icp:
+        from ..pose.icp import ICP, SynRenderer
+
+        icp_handle = ICP({eval_cfg.obj_id: SynRenderer(renderer)})
+
+        class _Refiner:
+            def refine(self, depth, R, t, K, dims, **kw):
+                return icp_handle.refine(depth, R, t, K, dims, class_name=eval_cfg.obj_id, **kw)
+
+        icp_handle = _Refiner()
+
+    data_tag = f"{eval_cfg.dataset}_{eval_cfg.cam_type}" if eval_cfg.cam_type else eval_cfg.dataset
+    log_dir = ws.get_log_dir(workspace_path, experiment_name, experiment_group)
+    eval_dir = ws.get_eval_dir(log_dir, args.evaluation_name, data_tag)
+    os.makedirs(eval_dir, exist_ok=True)
+
+    evaluator = Evaluator(
+        codebook, train_cfg, eval_cfg,
+        renderer=renderer, model_pts=model_pts, model_diameter=model_diameter,
+        icp_handle=icp_handle,
+    )
+    out = evaluator.run(eval_dir)
+
+    if eval_cfg.compute_plots and out["results"]:
+        for et in eval_cfg.error_types:
+            errs = [r.errors[et] for r in out["results"] if et in r.errors]
+            if errs:
+                plots.plot_error_hist(errs, et, eval_dir)
+                thresh = out["scores"].get(et, {}).get("threshold")
+                plots.plot_cumulative_error(errs, et, eval_dir, thresh)
+        if out["scores"]:
+            plots.plot_scores_bar(out["scores"], eval_dir)
+        if eval_cfg.embedding_pca and codebook.embedding_normalized is not None:
+            plots.plot_embedding_pca(np.asarray(codebook.embedding_normalized), eval_dir)
+
+    print(f"eval written to {eval_dir}")
+    for et, s in out["scores"].items():
+        print(f"  {et}: recall={s['recall']:.4f} ({s['n_correct']}/{s['n_gt']})")
+
+
+if __name__ == "__main__":
+    main()

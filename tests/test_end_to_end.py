@@ -172,6 +172,64 @@ class TestEndToEnd:
         np.testing.assert_allclose(ts_est[0, 2], cfg.radius, rtol=1e-5)
         np.testing.assert_allclose(Rs_est[0], codebook.viewsphere[3], atol=1e-5)
 
+    def test_pose_estimator_api(self, workspace, monkeypatch, tmp_path):
+        """Full m3-style API: test cfg -> AePoseEstimator.process()."""
+        import cv2
+
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.pose import AePoseEstimator, BoundingBox
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+
+        test_cfg = tmp_path / "m3.cfg"
+        test_cfg.write_text(
+            "[auto_pose]\n"
+            "camPose = False\n"
+            "upright = False\n"
+            "topk = 1\n"
+            "color_format = bgr\n"
+            "color_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj'}\n"
+        )
+        estimator = AePoseEstimator(str(test_cfg))
+        assert estimator.query_process_requirements() == ["color_img", "camK", "bboxes"]
+
+        # scene: the object rendered at a known pose
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        R = codebook.viewsphere[5]
+        t = np.array([0.0, 0.0, cfg.radius])
+        bgr, depth = dataset.renderer.render(
+            0, cfg.render_dims[0], cfg.render_dims[1], cfg.K, R, t,
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+        W, H = cfg.render_dims
+        box = BoundingBox(
+            xmin=x / W, ymin=y / H, xmax=(x + w) / W, ymax=(y + h) / H,
+            classes={"sphere": 0.99},
+        )
+        poses = estimator.process(bboxes=[box], color_img=bgr, camK=cfg.K)
+        assert len(poses) == 1
+        pose = poses[0]
+        assert pose.name == "sphere"
+        # translation in meters, z near radius (0.3 m), small lateral offset
+        t_m = pose.trafo[:3, 3]
+        assert abs(t_m[2] - cfg.radius / 1000.0) < 0.05
+        assert np.linalg.norm(t_m[:2]) < 0.05
+        # rotation is a valid rotation matrix
+        R_est = pose.trafo[:3, :3]
+        np.testing.assert_allclose(R_est @ R_est.T, np.eye(3), atol=1e-6)
+
+        # unknown class boxes are skipped
+        poses2 = estimator.process(
+            bboxes=[BoundingBox(classes={"unknown": 1.0})], color_img=bgr, camK=cfg.K
+        )
+        assert poses2 == []
+
     def test_resume_from_checkpoint(self, workspace, monkeypatch):
         from augmentedautoencoder_tpu.cli import ae_train
 

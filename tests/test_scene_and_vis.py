@@ -1,0 +1,102 @@
+"""Scene renderer, VOC XML, and pose visualizer tests."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from augmentedautoencoder_tpu.renderer import Renderer
+from augmentedautoencoder_tpu.renderer.procedural import make_icosphere
+from augmentedautoencoder_tpu.renderer.scenerenderer import SceneRenderer
+from augmentedautoencoder_tpu.renderer.write_xml import write_voc_xml
+
+K = np.array([[200.0, 0, 90], [0, 200.0, 68], [0, 0, 1.0]])
+
+
+@pytest.fixture(scope="module")
+def bg_dir(tmp_path_factory):
+    import cv2
+
+    d = tmp_path_factory.mktemp("voc")
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        cv2.imwrite(str(d / f"bg{i}.jpg"), rng.randint(0, 255, (100, 120, 3), np.uint8))
+    return str(d)
+
+
+class TestSceneRenderer:
+    def test_scene_contract(self, bg_dir):
+        np.random.seed(0)
+        meshes = [make_icosphere(2, 40.0), make_icosphere(2, 60.0)]
+        sr = SceneRenderer(
+            [], ".", 1.0, 180, 136, K, None, bg_dir,
+            min_num_objects_per_scene=2, max_num_objects_per_scene=4,
+            min_n_views=12, radius=500.0, obj_ids=[7, 9],
+            renderer=Renderer([], backend="numpy", meshes=meshes),
+            meshes=meshes,
+        )
+        bgr, obj_info = sr.render()
+        assert bgr.shape == (136, 180, 3) and bgr.dtype == np.uint8
+        assert 2 <= len(obj_info) <= 4
+        for info in obj_info:
+            assert info["id"] in (7, 9)
+            x0, y0, x1, y1 = info["bb"]
+            assert 0 <= x0 <= x1 <= 180 and 0 <= y0 <= y1 <= 136
+        # background is composited (scene is not all black outside objects)
+        assert bgr.sum() > 0
+
+    def test_augmenter_hook(self, bg_dir):
+        np.random.seed(1)
+        meshes = [make_icosphere(1, 40.0)]
+        called = {}
+
+        def aug(img):
+            called["yes"] = True
+            return img // 2
+
+        sr = SceneRenderer(
+            [], ".", 1.0, 90, 68, K / 2, aug, bg_dir,
+            min_num_objects_per_scene=1, max_num_objects_per_scene=1,
+            min_n_views=12, radius=500.0,
+            renderer=Renderer([], backend="numpy", meshes=meshes),
+            meshes=meshes,
+        )
+        bgr, _ = sr.render()
+        assert called.get("yes") and bgr.max() <= 127
+
+
+class TestVocXml:
+    def test_write_and_parse(self, tmp_path):
+        path = write_voc_xml(
+            str(tmp_path / "a.xml"), "a.png", 640, 480,
+            [{"id": 5, "bb": [10, 20, 110, 220]}],
+        )
+        root = ET.parse(path).getroot()
+        assert root.find("size/width").text == "640"
+        obj = root.find("object")
+        assert obj.find("name").text == "5"
+        assert obj.find("bndbox/xmax").text == "110"
+
+
+class TestPoseVisualizer:
+    def test_overlay(self):
+        from augmentedautoencoder_tpu.pose.interfaces import BoundingBox, PoseEstimate
+        from augmentedautoencoder_tpu.visualization import PoseVisualizer
+
+        mesh = make_icosphere(2, 60.0)
+        ren = Renderer([], backend="numpy", meshes=[mesh])
+        vis = PoseVisualizer(ren, {"obj": 0})
+        img = np.full((136, 180, 3), 50, np.uint8)
+        trafo = np.eye(4)
+        trafo[:3, 3] = [0, 0, 0.5]  # meters
+        est = PoseEstimate(name="obj", trafo=trafo)
+        box = BoundingBox(0.3, 0.3, 0.7, 0.7, classes={"obj": 1.0})
+        out = vis.render_poses(img, K, [est], [box])
+        assert out.shape == img.shape
+        changed = (out != img).any(axis=2)
+        assert changed.sum() > 50  # overlay + box drawn
+        # green channel boosted in the overlay region (interior, not box edge)
+        ys, xs = np.nonzero(changed)
+        cy, cx = int(ys.mean()), int(xs.mean())
+        assert out[cy, cx, 1] >= img[cy, cx, 1]

@@ -1,15 +1,21 @@
 """Headline benchmark: crops/sec/chip for encode + codebook nearest-neighbor.
 
-The BASELINE.json north-star metric: a 128x128x3 crop through the full-size
+The BASELINE.json north-star metric: 128x128x3 crops through the full-size
 AAE encoder (filters [128,256,512,512]) into the fused l2-normalize ->
-92,232x128 codebook matmul -> argmax, per chip. The whole query path is one
-jit dispatch per batch (the reference runs one TF session.run per crop,
-auto_pose/ae/codebook.py:55-75).
+92,232x128 codebook matmul -> argmax (Pallas kernel on TPU), per chip.
 
-`vs_baseline` is measured against an estimated 500 crops/s for the reference
-TF1-GPU path (4-conv encoder + 92k matmul + host argmax per crop on a 2018
-consumer GPU; the repo commits no figure — BASELINE.md). The rebuild target
-is >= 10x that on one v5e chip, i.e. vs_baseline >= 10.
+Methodology (kept honest against async-dispatch illusions):
+  * distinct device-resident input batches (no host->device transfer in the
+    timed loop, matching HBM-resident serving)
+  * every result is materialized on the host; host copies are enqueued
+    asynchronously and drained at the end (the production pipelining
+    pattern), so device compute and result readback overlap
+  * the reference executes one TF session.run per crop
+    (auto_pose/ae/codebook.py:55-75)
+
+`vs_baseline` compares against an estimated 500 crops/s for the reference
+TF1-GPU path (no figure is committed in the repo — BASELINE.md); the rebuild
+target is >= 10x on one v5e chip.
 
 Prints exactly one JSON line.
 """
@@ -22,7 +28,8 @@ import time
 import numpy as np
 
 BASELINE_CROPS_PER_SEC = 500.0  # estimated TF1-GPU reference throughput
-BATCH = 64
+BATCH = 256
+N_BATCHES = 30
 N_VIEWS = 92232
 LATENT = 128
 
@@ -40,16 +47,19 @@ def main() -> None:
     model = AAE.from_config(cfg)
 
     rng = jax.random.PRNGKey(0)
-    x = jax.random.uniform(rng, (BATCH, 128, 128, 3), jnp.float32)
-    variables = jax.jit(model.init)(rng, x, x)
+    on_tpu = jax.default_backend() == "tpu"
+    n_batches = N_BATCHES if on_tpu else 3
+
+    keys = jax.random.split(rng, n_batches)
+    xs = [jax.random.uniform(k, (BATCH, 128, 128, 3), jnp.float32) for k in keys]
+    jax.block_until_ready(xs)
+
+    variables = jax.jit(model.init)(rng, xs[0], xs[0])
     params = variables["params"]
 
-    npr = np.random.RandomState(0)
-    codebook = npr.randn(N_VIEWS, LATENT).astype(np.float32)
-    codebook /= np.linalg.norm(codebook, axis=1, keepdims=True)
-    codebook = jax.device_put(codebook)
-
-    on_tpu = jax.default_backend() == "tpu"
+    codebook = jax.random.normal(rng, (N_VIEWS, LATENT), jnp.float32)
+    codebook = codebook / jnp.linalg.norm(codebook, axis=1, keepdims=True)
+    jax.block_until_ready((codebook,))
 
     @jax.jit
     def encode_and_query(params, x, codebook):
@@ -59,18 +69,23 @@ def main() -> None:
         vals, idcs = cosine_similarity_topk(z, codebook, 1)
         return vals[:, 0], idcs[:, 0]
 
-    # warmup / compile
-    vals, idcs = encode_and_query(params, x, codebook)
-    jax.block_until_ready((vals, idcs))
+    # warmup / compile, with a real value fetch
+    _ = np.asarray(encode_and_query(params, xs[0], codebook)[1])
 
-    n_iters = 50 if on_tpu else 5
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        vals, idcs = encode_and_query(params, x, codebook)
-    jax.block_until_ready((vals, idcs))
+    pending = []
+    for x in xs:
+        _, idcs = encode_and_query(params, x, codebook)
+        try:
+            idcs.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append(idcs)
+    results = [np.asarray(i) for i in pending]  # materialize every result
     dt = time.perf_counter() - t0
 
-    crops_per_sec = BATCH * n_iters / dt
+    assert len(results) == n_batches and results[0].shape == (BATCH,)
+    crops_per_sec = BATCH * n_batches / dt
     print(
         json.dumps(
             {

@@ -29,6 +29,23 @@ def main() -> None:
     dataset = factory.build_dataset(paths["dataset_path"], cfg)
     encode = factory.make_encode_fn(model, payload["params"], payload.get("batch_stats"))
 
+    if cfg.model == "dsprites":
+        # orientation codebook from the pinned-latent image subset
+        # (reference codebook.py:164-185)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..data.dsprites import load_dsprites_training_images
+
+        _, train_y = load_dsprites_training_images(cfg.model_path)
+        emb_imgs = train_y[::1024][40:80].astype(np.float32) / 255.0
+        z = np.asarray(encode(jnp.asarray(emb_imgs)))
+        z /= np.linalg.norm(z, axis=1, keepdims=True)
+        mgr = CheckpointManager(paths["checkpoint_dir"])
+        path = mgr.add_codebook(z, None, step=args.at_step)
+        print(f"dsprites codebook ({z.shape[0]} x {z.shape[1]}) saved into {path}")
+        return
+
     batch_size = args.batch_size or max(cfg.batch_size, 256)
     print(f"embedding {dataset.embedding_size} views (batch {batch_size}) ...")
     embedding, obj_bbs = Codebook.build_embedding(

@@ -93,6 +93,25 @@ def main() -> None:
         if eval_cfg.embedding_pca and codebook.embedding_normalized is not None:
             plots.plot_embedding_pca(np.asarray(codebook.embedding_normalized), eval_dir)
 
+    # LaTeX report (reference eval/latex_report.py; pdflatex optional)
+    from ..evaluation.latex_report import generate_report
+
+    train_cfg_text = ""
+    exp_cfg = paths_cfg = None
+    try:
+        exp_cfg_file = factory.experiment_paths(experiment_name, experiment_group)["exp_cfg_file"]
+        if os.path.exists(exp_cfg_file):
+            with open(exp_cfg_file) as fh:
+                train_cfg_text = fh.read()
+    except Exception:
+        pass
+    with open(eval_cfg_path) as fh:
+        eval_cfg_text = fh.read()
+    generate_report(
+        eval_dir, f"{experiment_name} / {args.evaluation_name}",
+        train_cfg_text, eval_cfg_text,
+    )
+
     print(f"eval written to {eval_dir}")
     for et, s in out["scores"].items():
         print(f"  {et}: recall={s['recall']:.4f} ({s['n_correct']}/{s['n_gt']})")

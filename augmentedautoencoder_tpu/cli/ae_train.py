@@ -60,15 +60,35 @@ def main() -> None:
         shutil.copy2(src_cfg, paths["exp_cfg_file"])
 
     dataset = factory.build_dataset(paths["dataset_path"], cfg)
-    dataset.get_training_images(paths["dataset_path"])
-    if args.gen:
-        print("training data generated; exiting (-gen)")
-        return
-    dataset.load_bg_images(paths["dataset_path"])
+    if cfg.model == "dsprites":
+        from ..data.dsprites import load_dsprites_training_images
+
+        dataset.train_x, dataset.train_y = load_dsprites_training_images(cfg.model_path)
+        dataset.mask_x = np.zeros(dataset.train_x.shape[:3], bool)
+        dataset.noof_obj_pixels = dataset.mask_x.shape[1] * dataset.mask_x.shape[2] - dataset.mask_x.sum(axis=(1, 2))
+        dataset.bg_imgs = np.zeros((1,) + dataset.train_x.shape[1:], np.uint8)
+    else:
+        dataset.get_training_images(paths["dataset_path"])
+        if args.gen:
+            print("training data generated; exiting (-gen)")
+            return
+        dataset.load_bg_images(paths["dataset_path"])
+
+    occlusion_masks = None
+    if cfg.realistic_occlusion:
+        from ..data.occlusion_masks import synthesize_mask_bank, workspace_mask_bank
+
+        occlusion_masks = workspace_mask_bank(
+            ws.get_workspace_path(), (cfg.h, cfg.w)
+        )
+        if occlusion_masks is None:
+            print("no random_tless_masks asset found; synthesizing occluders")
+            occlusion_masks = synthesize_mask_bank(1000, (cfg.h, cfg.w))
 
     device_ds = DeviceDataset(
         cfg, dataset.train_x, dataset.mask_x, dataset.train_y,
         dataset.bg_imgs, dataset.noof_obj_pixels,
+        occlusion_masks=occlusion_masks,
     )
 
     if args.d:
@@ -80,7 +100,15 @@ def main() -> None:
         print(f"debug grid written to {out}")
         return
 
-    trainer = Trainer(cfg, device_ds, seed=args.seed, log_dir=paths["log_dir"])
+    from ..training.metrics import MetricWriter
+
+    # summaries land in the checkpoint dir like the reference's TF
+    # FileWriter (ae_train.py:117)
+    writer = MetricWriter(paths["checkpoint_dir"])
+    trainer = Trainer(
+        cfg, device_ds, seed=args.seed, log_dir=paths["log_dir"],
+        metric_writer=writer,
+    )
     signal.signal(signal.SIGINT, lambda sig, frame: trainer.request_stop())
 
     ckpt = CheckpointManager(paths["checkpoint_dir"])

@@ -22,6 +22,11 @@ setup(
             "ae_embed = augmentedautoencoder_tpu.cli.ae_embed:main",
             "ae_eval = augmentedautoencoder_tpu.cli.ae_eval:main",
             "aae_image = augmentedautoencoder_tpu.cli.aae_image:main",
+            "aae_webcam = augmentedautoencoder_tpu.cli.aae_webcam:main",
+            "detector_webcam_pose = augmentedautoencoder_tpu.cli.detector_webcam_pose:main",
+            "generate_syn_det_train = augmentedautoencoder_tpu.cli.generate_syn_det_train:main",
+            "generate_sixd_train = augmentedautoencoder_tpu.cli.generate_sixd_train:main",
+            "compute_bop_results = augmentedautoencoder_tpu.cli.compute_bop_results:main",
         ]
     },
 )

@@ -1,0 +1,129 @@
+"""Aux subsystem tests: metrics writer, occlusion masks, dsprites, reports."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from augmentedautoencoder_tpu.data.occlusion_masks import (
+    load_mask_bank,
+    synthesize_mask_bank,
+    workspace_mask_bank,
+)
+from augmentedautoencoder_tpu.training.metrics import MetricWriter
+
+
+class TestMetricWriter:
+    def test_jsonl_and_tensorboard(self, tmp_path):
+        w = MetricWriter(str(tmp_path))
+        w.write_scalars(10, {"loss": 0.5, "reg": 0.1})
+        w.write_scalars(20, {"loss": 0.25})
+        w.write_image(20, "grid", np.zeros((8, 8, 3), np.uint8))
+        w.close()
+        lines = open(tmp_path / "metrics.jsonl").read().strip().split("\n")
+        assert len(lines) == 2
+        rec = json.loads(lines[0])
+        assert rec["step"] == 10 and rec["loss"] == 0.5
+        # tensorboard event file written when tb is available
+        assert any(n.startswith("events") for n in os.listdir(tmp_path))
+
+
+class TestOcclusionMasks:
+    def test_bitpacked_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        masks = rng.rand(3, 224, 224) > 0.5
+        packed = np.packbits(masks.astype(np.uint8))
+        path = tmp_path / "masks.bin"
+        packed.tofile(path)
+        loaded = load_mask_bank(str(path), (224, 224))
+        assert loaded.shape == (3, 224, 224)
+        np.testing.assert_array_equal(loaded, masks)
+
+    def test_resize(self, tmp_path):
+        masks = np.zeros((1, 224, 224), bool)
+        masks[0, :112] = True
+        np.packbits(masks.astype(np.uint8)).tofile(tmp_path / "m.bin")
+        loaded = load_mask_bank(str(tmp_path / "m.bin"), (64, 64))
+        assert loaded.shape == (1, 64, 64)
+        assert loaded[0, :32].all() and not loaded[0, 32:].any()
+
+    def test_workspace_lookup(self, tmp_path):
+        assert workspace_mask_bank(str(tmp_path), (64, 64)) is None
+        d = tmp_path / "random_tless_masks"
+        d.mkdir()
+        masks = np.ones((2, 224, 224), bool)
+        np.packbits(masks.astype(np.uint8)).tofile(d / "arbitrary_syn_masks_1000.bin")
+        loaded = workspace_mask_bank(str(tmp_path), (32, 32))
+        assert loaded.shape == (2, 32, 32) and loaded.all()
+
+    def test_synthesized_bank(self):
+        masks = synthesize_mask_bank(5, (64, 64))
+        assert masks.shape == (5, 64, 64)
+        fracs = masks.mean(axis=(1, 2))
+        assert (fracs > 0.005).all() and (fracs < 0.6).all()
+
+
+class TestDsprites:
+    def test_loader_on_synthetic_npz(self, tmp_path):
+        from augmentedautoencoder_tpu.data.dsprites import load_dsprites_training_images
+
+        # dsprites-format npz with the REAL latent grid (1,3,6,40,32,32) but
+        # tiny 4x4 images; image value encodes its flat index for checking
+        latents_sizes = np.array([1, 3, 6, 40, 32, 32])
+        n = int(latents_sizes.prod())
+        imgs = np.zeros((n, 4, 4), np.uint8)
+        imgs[:, 0, 0] = np.arange(n) % 251  # fingerprint
+        grids = np.meshgrid(*[np.arange(s) for s in latents_sizes], indexing="ij")
+        latents_classes = np.stack([g.reshape(-1) for g in grids], axis=1)
+        path = tmp_path / "dsprites.npz"
+        np.savez(
+            path, imgs=imgs, latents_classes=latents_classes,
+            latents_values=latents_classes.astype(np.float32),
+            metadata=np.array({"latents_sizes": latents_sizes}),
+        )
+        tx, ty = load_dsprites_training_images(str(path))
+        assert tx.shape == (245760, 4, 4, 1) and ty.shape == tx.shape
+        # x is the raw heart block (many distinct images); y pins everything
+        # but orientation, so it draws from exactly 40 source images
+        assert len(np.unique(tx[:, 0, 0, 0])) > 100
+        assert len(np.unique(ty[:, 0, 0, 0])) <= 40
+
+    def test_index_math(self):
+        # latent_to_index is a mixed-radix ravel; verify on a known case
+        latents_sizes = np.array([1, 3, 6, 40, 32, 32])
+        bases = np.concatenate((latents_sizes[::-1].cumprod()[::-1][1:], [1]))
+        idx = np.dot([0, 1, 5, 39, 31, 31], bases)
+        assert idx == 1 * (6 * 40 * 32 * 32) + 5 * (40 * 32 * 32) + 39 * 32 * 32 + 31 * 32 + 31
+
+
+class TestReports:
+    def test_latex_report(self, tmp_path):
+        from augmentedautoencoder_tpu.evaluation.latex_report import generate_report
+
+        eval_dir = str(tmp_path)
+        with open(os.path.join(eval_dir, "scores.json"), "w") as fh:
+            json.dump(
+                {"vsd": {"recall": 0.8, "n_correct": 8, "n_gt": 10, "threshold": 0.3}},
+                fh,
+            )
+        tex = generate_report(eval_dir, "test_exp", "A=1\nB=2", "C=3")
+        content = open(tex).read()
+        assert "0.8000" in content
+        assert "\\begin{document}" in content and "test\\_exp" in content
+
+    def test_comparative_report(self, tmp_path):
+        from augmentedautoencoder_tpu.evaluation.comparative_report import (
+            write_comparative_report,
+        )
+
+        for exp, recall in (("exp_a", 0.5), ("exp_b", 0.9)):
+            d = tmp_path / "experiments" / "grp" / exp / "eval" / "ev1" / "tless"
+            d.mkdir(parents=True)
+            with open(d / "scores.json", "w") as fh:
+                json.dump({"vsd": {"recall": recall, "n_correct": 1, "n_gt": 2}}, fh)
+        tex = write_comparative_report(str(tmp_path), "grp", str(tmp_path / "out"))
+        content = open(tex).read()
+        assert "exp\\_a" in content and "0.9000" in content
+        summary = json.load(open(tmp_path / "out" / "comparative_scores.json"))
+        assert len(summary) == 2

@@ -1,0 +1,172 @@
+"""Numerical parity against the reference TF1 architecture.
+
+Builds the reference's exact encoder/decoder graph with tf.compat.v1
+(tf.layers conv/dense auto-naming, SAME padding, NN-upsampling — mirroring
+auto_pose/ae/encoder.py:38-68 / decoder.py:36-84), runs it on random input,
+then ports the TF variables into this build's Flax AAE via tf_interop and
+asserts the latent codes and reconstructions agree to float tolerance.
+
+This validates (a) architecture parity and (b) that the reference's
+published pretrained checkpoints can be imported and evaluated natively.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow").compat.v1
+
+from augmentedautoencoder_tpu.training.tf_interop import (
+    load_tf_checkpoint_variables,
+    reference_params_to_flax,
+)
+
+H = W = 32
+LATENT = 8
+FILTERS = [8, 16]
+STRIDES = [2, 2]
+KERNEL = 5
+
+
+# tf.layers is gone under Keras 3; rebuild the same graph with raw tf.nn ops
+# and tf.layers' VARIABLE NAMES ('conv2d/kernel', 'conv2d_1/...', 'dense/...')
+# — which is exactly what reference checkpoints contain.
+_counters = {}
+
+
+def _auto_name(base):
+    i = _counters.get(base, 0)
+    _counters[base] = i + 1
+    return base if i == 0 else f"{base}_{i}"
+
+
+def _conv2d(x, filters, stride, activation):
+    name = _auto_name("conv2d")
+    with tf.variable_scope(name):
+        k = tf.get_variable(
+            "kernel", [KERNEL, KERNEL, int(x.shape[-1]), filters],
+            initializer=tf.glorot_uniform_initializer(),
+        )
+        b = tf.get_variable("bias", [filters], initializer=tf.zeros_initializer())
+    y = tf.nn.conv2d(x, k, strides=[1, stride, stride, 1], padding="SAME") + b
+    return activation(y) if activation is not None else y
+
+
+def _dense(x, units, activation=None):
+    name = _auto_name("dense")
+    with tf.variable_scope(name):
+        k = tf.get_variable(
+            "kernel", [int(x.shape[-1]), units],
+            initializer=tf.glorot_uniform_initializer(),
+        )
+        b = tf.get_variable("bias", [units], initializer=tf.zeros_initializer())
+    y = tf.matmul(x, k) + b
+    return activation(y) if activation is not None else y
+
+
+def build_reference_graph(x):
+    """The reference encoder+decoder graph shape (encoder.py:38-68,
+    decoder.py:36-84), small dims."""
+    _counters.clear()
+    net = x
+    for f, s in zip(FILTERS, STRIDES):
+        net = _conv2d(net, f, s, tf.nn.relu)
+    net = tf.reshape(net, [-1, int(np.prod(net.shape[1:]))])
+    z = _dense(net, LATENT)
+
+    rfilters = list(reversed(FILTERS))
+    rstrides = list(reversed(STRIDES))
+    layer_dims = [
+        (int(H / np.prod(rstrides[i:])), int(W / np.prod(rstrides[i:])))
+        for i in range(len(rstrides))
+    ]
+    d = _dense(z, layer_dims[0][0] * layer_dims[0][1] * rfilters[0], tf.nn.relu)
+    d = tf.reshape(d, [-1, layer_dims[0][0], layer_dims[0][1], rfilters[0]])
+    for f, size in zip(rfilters[1:], layer_dims[1:]):
+        d = tf.compat.v1.image.resize_nearest_neighbor(d, size)
+        d = _conv2d(d, f, 1, tf.nn.relu)
+    d = tf.compat.v1.image.resize_nearest_neighbor(d, [H, W])
+    recon = _conv2d(d, 3, 1, tf.nn.sigmoid)
+    return z, recon
+
+
+@pytest.fixture(scope="module")
+def tf_run(tmp_path_factory):
+    tf.disable_eager_execution()
+    tmp = tmp_path_factory.mktemp("tfckpt")
+    rng = np.random.RandomState(0)
+    x_val = rng.rand(4, H, W, 3).astype(np.float32)
+
+    graph = tf.Graph()
+    with graph.as_default():
+        with tf.variable_scope("my_exp"):
+            x = tf.placeholder(tf.float32, [None, H, W, 3])
+            z, recon = build_reference_graph(x)
+            # codebook-in-checkpoint like the reference (codebook.py:27-48)
+            emb = tf.Variable(
+                rng.rand(50, LATENT).astype(np.float32),
+                trainable=False, name="embedding_normalized",
+            )
+            bbs = tf.Variable(
+                rng.randint(0, 100, (50, 4)).astype(np.int32),
+                trainable=False, name="embed_obj_bbs_var",
+            )
+        saver = tf.train.Saver()
+        with tf.Session(graph=graph) as sess:
+            sess.run(tf.global_variables_initializer())
+            z_val, recon_val = sess.run([z, recon], {x: x_val})
+            ckpt_path = saver.save(sess, str(tmp / "chkpt"), global_step=77)
+    return {
+        "ckpt": ckpt_path, "x": x_val, "z": z_val, "recon": recon_val,
+        "emb": None, "bbs": None,
+    }
+
+
+class TestTFInterop:
+    def test_variable_loading_and_scope_strip(self, tf_run):
+        tf_vars = load_tf_checkpoint_variables(tf_run["ckpt"], scope="my_exp")
+        assert "conv2d/kernel" in tf_vars
+        assert "embedding_normalized" in tf_vars
+        assert tf_vars["conv2d/kernel"].shape == (KERNEL, KERNEL, 3, FILTERS[0])
+
+    def test_forward_parity(self, tf_run):
+        import jax.numpy as jnp
+
+        from augmentedautoencoder_tpu.config import TrainConfig
+        from augmentedautoencoder_tpu.models import AAE
+
+        tf_vars = load_tf_checkpoint_variables(tf_run["ckpt"], scope="my_exp")
+        payload = reference_params_to_flax(tf_vars, num_filters=tuple(FILTERS))
+
+        cfg = TrainConfig(h=H, w=W, c=3, latent_space_size=LATENT)
+        cfg.num_filter = FILTERS
+        cfg.strides = STRIDES
+        model = AAE.from_config(cfg)
+
+        x = jnp.asarray(tf_run["x"])
+        out = model.apply({"params": payload["params"]}, x, x)
+        np.testing.assert_allclose(np.asarray(out.z), tf_run["z"], atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(out.reconstruction), tf_run["recon"], atol=2e-4
+        )
+
+    def test_codebook_import(self, tf_run):
+        tf_vars = load_tf_checkpoint_variables(tf_run["ckpt"], scope="my_exp")
+        payload = reference_params_to_flax(tf_vars, num_filters=tuple(FILTERS))
+        assert payload["embedding_normalized"].shape == (50, LATENT)
+        assert payload["embed_obj_bbs"].shape == (50, 4)
+
+    def test_import_to_orbax_checkpoint(self, tf_run, tmp_path):
+        from augmentedautoencoder_tpu.training.tf_interop import (
+            import_reference_checkpoint,
+        )
+        from augmentedautoencoder_tpu.training.checkpoint import CheckpointManager
+
+        import_reference_checkpoint(
+            tf_run["ckpt"], "my_exp", str(tmp_path / "ckpts"), step=77,
+            num_filters=tuple(FILTERS),
+        )
+        mgr = CheckpointManager(str(tmp_path / "ckpts"))
+        restored = mgr.restore()
+        assert int(restored["step"]) == 77
+        assert "embedding_normalized" in restored
+        assert "encoder" in restored["params"]

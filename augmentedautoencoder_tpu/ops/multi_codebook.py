@@ -1,0 +1,180 @@
+"""Multi-object codebook serving: mixed-object query batches, one kernel.
+
+The multi-object deployment (30 T-LESS objects -> 30 codebooks of 92,232 x
+128 ~= 1.4 GB f32 total) keeps all codebooks as ONE stacked HBM array
+(O, N, D). A query batch with per-query object ids runs as a single Pallas
+kernel: the grid walks codebook tiles; each tile is DMA'd once from the HBM
+slab per (object-group, tile) pair via scalar-prefetched object ids, scores
+on the MXU, and a running (max, argmax) per query lives in VMEM scratch.
+
+The reference holds one TF graph per object and loops detections one
+session.run at a time (m3_interface/ae_pose_estimator.py:143-229).
+
+Fallback (`multi_codebook_top1_xla`) sorts queries by object on the host and
+runs per-object matmuls — used off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_TILE_N = 2048
+
+
+def _mc_top1_kernel(n_valid, obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref, run_val, run_idx):
+    """Grid: (num_tiles,). cb block index_map consumes the prefetched object
+    id of the current query GROUP (all queries in one call share obj id; the
+    host groups mixed batches — see multi_codebook_top1)."""
+    i = pl.program_id(0)
+    tile_n = cb_ref.shape[0]
+
+    scores = jax.lax.dot_general(
+        z_ref[:], cb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + i * tile_n
+    scores = jnp.where(col < n_valid, scores, -2.0)
+
+    tile_val = jnp.max(scores, axis=1, keepdims=True)
+    tile_idx = jnp.argmax(scores, axis=1).reshape(-1, 1).astype(jnp.int32) + i * tile_n
+
+    @pl.when(i == 0)
+    def _():
+        run_val[:] = tile_val
+        run_idx[:] = tile_idx
+
+    @pl.when(i > 0)
+    def _():
+        better = tile_val > run_val[:]
+        run_val[:] = jnp.where(better, tile_val, run_val[:])
+        run_idx[:] = jnp.where(better, tile_idx, run_idx[:])
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        val_ref[:] = run_val[:]
+        idx_ref[:] = run_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def grouped_codebook_top1(
+    z: Array, codebooks: Array, obj_id: Array, tile_n: int = _TILE_N
+) -> Tuple[Array, Array]:
+    """Top-1 for a batch of queries that all share ONE object id.
+
+    codebooks: (O, N_pad, D) stacked, rows l2-normalized, padded rows zero.
+    obj_id: () int32 — scalar-prefetched so the kernel DMAs only that
+    object's tiles out of the HBM slab.
+    """
+    b, d = z.shape
+    o, n_pad, _ = codebooks.shape
+    assert n_pad % tile_n == 0
+    num_tiles = n_pad // tile_n
+
+    from .nn_query import l2_normalize
+
+    q = l2_normalize(z)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, obj: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_n, d),
+                lambda i, obj: (obj[0], i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, 1), lambda i, obj: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i, obj: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.int32),
+        ],
+    )
+
+    def kernel(obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref, run_val, run_idx):
+        _mc_top1_kernel(
+            n_pad, obj_ids_ref, z_ref, cb_ref[0], val_ref, idx_ref, run_val, run_idx
+        )
+
+    vals, idcs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n_pad,
+            bytes_accessed=n_pad * d * 4 + b * d * 4,
+            transcendentals=0,
+        ),
+    )(obj_id.reshape(1), q, codebooks)
+    return vals[:, 0], idcs[:, 0]
+
+
+def stack_codebooks(codebooks, tile_n: int = _TILE_N) -> np.ndarray:
+    """Stack per-object (N_i, D) codebooks into (O, N_pad, D), zero-padded.
+
+    Zero rows give cosine 0 which can exceed negative true matches, so the
+    kernel ALSO masks by the true length — pass `n_valid` per object via
+    multi_codebook_top1's lengths argument when sizes differ.
+    """
+    n_max = max(cb.shape[0] for cb in codebooks)
+    n_pad = -(-n_max // tile_n) * tile_n
+    d = codebooks[0].shape[1]
+    out = np.zeros((len(codebooks), n_pad, d), np.float32)
+    for i, cb in enumerate(codebooks):
+        out[i, : cb.shape[0]] = cb
+    return out
+
+
+def multi_codebook_top1_xla(
+    z: Array, codebooks: Array, obj_ids: Array
+) -> Tuple[Array, Array]:
+    """Mixed-object top-1 via one gathered einsum (off-TPU fallback):
+    each query dots only its own codebook by gathering (B, N, D)."""
+    from .nn_query import l2_normalize
+
+    q = l2_normalize(z)
+    per_query_cb = codebooks[obj_ids]  # (B, N_pad, D) gather
+    cos = jnp.einsum("bd,bnd->bn", q, per_query_cb)
+    idx = jnp.argmax(cos, axis=1)
+    val = jnp.take_along_axis(cos, idx[:, None], axis=1)[:, 0]
+    return val, idx
+
+
+def multi_codebook_top1(z, codebooks, obj_ids):
+    """Dispatch: grouped Pallas path on TPU, gathered einsum elsewhere.
+
+    obj_ids: (B,) int32. On TPU, queries are grouped by object on the host
+    (python loop over unique ids — detection batches are small) and each
+    group runs the scalar-prefetch kernel.
+    """
+    if jax.default_backend() != "tpu":
+        return multi_codebook_top1_xla(z, codebooks, obj_ids)
+
+    obj_ids_np = np.asarray(obj_ids)
+    vals = np.empty((len(obj_ids_np),), np.float32)
+    idcs = np.empty((len(obj_ids_np),), np.int32)
+    for obj in np.unique(obj_ids_np):
+        sel = np.nonzero(obj_ids_np == obj)[0]
+        v, i = grouped_codebook_top1(
+            z[jnp.asarray(sel)], codebooks, jnp.asarray(obj, jnp.int32)
+        )
+        vals[sel] = np.asarray(v)
+        idcs[sel] = np.asarray(i)
+    return jnp.asarray(vals), jnp.asarray(idcs)

@@ -26,8 +26,17 @@ def main() -> None:
     cfg, paths, model, payload = factory.restore_experiment(
         experiment_name, experiment_group, args.at_step
     )
+    import jax
+
     dataset = factory.build_dataset(paths["dataset_path"], cfg)
-    encode = factory.make_encode_fn(model, payload["params"], payload.get("batch_stats"))
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+    encode = factory.make_encode_fn(
+        model, payload["params"], payload.get("batch_stats"), mesh=mesh
+    )
 
     if cfg.model == "dsprites":
         # orientation codebook from the pinned-latent image subset

@@ -30,11 +30,26 @@ def build_dataset(dataset_path: str, cfg: TrainConfig, renderer=None) -> Dataset
     return Dataset(dataset_path, cfg, renderer=renderer)
 
 
-def make_encode_fn(model: AAE, params, batch_stats=None):
-    """Jitted deterministic encoder forward: (B,H,W,C) in [0,1] -> (B, J)."""
+def make_encode_fn(model: AAE, params, batch_stats=None, mesh=None):
+    """Jitted deterministic encoder forward: (B,H,W,C) in [0,1] -> (B, J).
+
+    With a mesh, the batch shards over the data axis (params replicated) —
+    used by ae_embed to spread the 92k-view codebook build across chips."""
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
+
+    if mesh is not None:
+        from .parallel import batch_sharding, replicated
+
+        in_sh = batch_sharding(mesh)
+        out_sh = batch_sharding(mesh)
+
+        @partial(jax.jit, in_shardings=(in_sh,), out_shardings=out_sh)
+        def encode(x):
+            return model.apply(variables, x, method=model.encode)
+
+        return encode
 
     @jax.jit
     def encode(x):

@@ -85,11 +85,14 @@ class Dataset:
         if self._renderer is None:
             from ..renderer import Renderer
 
+            # cfg MODEL selects the shading path like the reference picks
+            # meshrenderer vs meshrenderer_phong (dataset.py:60-80)
             self._renderer = Renderer(
                 [self.cfg.model_path],
                 samples=self.cfg.antialiasing,
                 vertex_tmp_store_folder=self.dataset_path,
                 vertex_scale=self.cfg.vertex_scale,
+                shading="cad" if self.cfg.model == "cad" else "vertex",
             )
         return self._renderer
 

@@ -26,9 +26,23 @@ from .mesh import Mesh, load_mesh
 DEFAULT_PHONG = {"ambient": 0.4, "diffuse": 0.8, "specular": 0.3}
 FIXED_LIGHT = np.array([400.0, 400.0, 400.0])
 
+#: cad_shader.frag's fixed gray-beige material (cad_shader.frag:22-24)
+CAD_MATERIAL = np.array([223.0, 214.0, 205.0])
+
 
 class Renderer:
-    """Multi-object offscreen renderer over CPU rasterizer backends."""
+    """Multi-object offscreen renderer over CPU rasterizer backends.
+
+    shading='vertex' is the reconst path (per-vertex colors, positional
+    light, full Phong — depth_shader_phong). shading='cad' reproduces the
+    reference cad renderer's EFFECTIVE behavior including its uniform-
+    location mismatch (meshrenderer.py:88-98 writes ambient/light/diffuse/
+    specular to locations 0..3 while cad_shader.frag reads light at 0,
+    ambient at 2, diffuse at 3, specular at 4): the light sits at the
+    camera origin, the configured DIFFUSE weight acts as ambient, the
+    SPECULAR weight acts as diffuse, and specular is zero. Reference cad
+    codebooks were built with exactly this shading, so parity requires it.
+    """
 
     def __init__(
         self,
@@ -38,14 +52,25 @@ class Renderer:
         vertex_scale: float = 1.0,
         backend: str = "auto",
         meshes: Optional[Sequence[Mesh]] = None,
+        shading: str = "vertex",
     ):
         self._samples = int(samples)
+        self._shading = shading
         if meshes is not None:
             self._meshes = list(meshes)
         else:
             self._meshes = [
                 load_mesh(p, vertex_scale=vertex_scale, cache_dir=vertex_tmp_store_folder)
                 for p in models_files
+            ]
+        if shading == "cad":
+            import dataclasses
+
+            self._meshes = [
+                dataclasses.replace(
+                    m, colors=np.tile(CAD_MATERIAL, (len(m.vertices), 1))
+                )
+                for m in self._meshes
             ]
 
         self._native = None
@@ -81,7 +106,11 @@ class Renderer:
     def _sample_light(self, random_light: bool, phong: Dict[str, float]):
         if random_light:
             light_pos = 1000.0 * np.random.random(3)
-            ambient = phong["ambient"]
+            if self._shading == "cad":
+                # cad renderer also jitters ambient (meshrenderer.py:99)
+                ambient = phong["ambient"] + 0.1 * (2 * np.random.rand() - 1)
+            else:
+                ambient = phong["ambient"]
             diffuse = phong["diffuse"] + 0.1 * (2 * np.random.rand() - 1)
             specular = phong["specular"] + 0.1 * (2 * np.random.rand() - 1)
         else:
@@ -89,6 +118,11 @@ class Renderer:
             ambient = phong["ambient"]
             diffuse = phong["diffuse"]
             specular = phong["specular"]
+        if self._shading == "cad":
+            # uniform-location mismatch (see class docstring): light at the
+            # camera origin; diffuse weight -> ambient, specular -> diffuse
+            light_pos = np.zeros(3)
+            ambient, diffuse, specular = diffuse, specular, 0.0
         return light_pos, ambient, diffuse, specular
 
     def _render_one(self, obj_id, W, H, K, R, t, near, far, light):

@@ -62,18 +62,37 @@ class Evaluator:
         self, loader: SceneLoader, scene_id: int, im_id: int
     ) -> List[EvalResult]:
         ec = self.eval_cfg
-        gts = [g for g in loader.gt[im_id] if g.obj_id == ec.obj_id]
-        if not gts:
+        all_gts = [
+            (gi, g) for gi, g in enumerate(loader.gt[im_id]) if g.obj_id == ec.obj_id
+        ]
+        if not all_gts:
             return []
+        # gt indices below refer to positions within the obj-filtered list,
+        # matching compute_errors' enumeration
+        sel = list(range(len(all_gts)))
         if ec.single_instance:
-            gts = gts[:1]
+            # prefer the most visible instance when gt info carries
+            # visibility fractions (reference eval_utils.py:209-227 selects
+            # by score/visibility)
+            if any(g.visib_fract is not None for _, g in all_gts):
+                sel = [
+                    max(
+                        sel,
+                        key=lambda i: all_gts[i][1].visib_fract
+                        if all_gts[i][1].visib_fract is not None
+                        else 0.0,
+                    )
+                ]
+            else:
+                sel = sel[:1]
+        gts = [(i, all_gts[i][1]) for i in sel]
 
         img = loader.load_rgb(im_id)
         K_test = loader.cameras[im_id]["K"]
         H, W = img.shape[:2]
 
         crops, bbs, gt_idcs = [], [], []
-        for gi, gt in enumerate(gts):
+        for gi, gt in gts:
             bb = gt.bbox_obj
             if bb is None and self.renderer is not None:
                 _, depth = self.renderer.render(

@@ -16,6 +16,9 @@ from . import split_experiment_name
 
 
 def main() -> None:
+    from ..utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("experiment_name")
     parser.add_argument("--at_step", type=int, default=None)

@@ -23,6 +23,9 @@ from . import split_experiment_name
 
 
 def main() -> None:
+    from ..utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("experiment_name")
     parser.add_argument("evaluation_name")
@@ -97,7 +100,6 @@ def main() -> None:
     from ..evaluation.latex_report import generate_report
 
     train_cfg_text = ""
-    exp_cfg = paths_cfg = None
     try:
         exp_cfg_file = factory.experiment_paths(experiment_name, experiment_group)["exp_cfg_file"]
         if os.path.exists(exp_cfg_file):

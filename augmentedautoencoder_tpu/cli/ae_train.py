@@ -40,6 +40,9 @@ def _save_grid(path: str, batches, rows: int = 4) -> None:
 
 
 def main() -> None:
+    from ..utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("experiment_name")
     parser.add_argument("-d", action="store_true", default=False, help="debug: dump augmented batch + reconstruction grid, no training")

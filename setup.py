@@ -27,6 +27,8 @@ setup(
             "generate_syn_det_train = augmentedautoencoder_tpu.cli.generate_syn_det_train:main",
             "generate_sixd_train = augmentedautoencoder_tpu.cli.generate_sixd_train:main",
             "compute_bop_results = augmentedautoencoder_tpu.cli.compute_bop_results:main",
+            "compute_eval_errors = augmentedautoencoder_tpu.cli.compute_eval_errors:main",
+            "ae_import_tf = augmentedautoencoder_tpu.cli.ae_import_tf:main",
         ]
     },
 )

@@ -155,6 +155,64 @@ class TestTFInterop:
         assert payload["embedding_normalized"].shape == (50, LATENT)
         assert payload["embed_obj_bbs"].shape == (50, 4)
 
+    def test_import_cli_full_flow(self, tf_run, tmp_path, monkeypatch):
+        """ae_import_tf -> build_codebook_from_name -> nearest_rotation with
+        the TF graph's weights and codebook."""
+        import sys
+        import textwrap
+
+        import jax.numpy as jnp
+
+        from augmentedautoencoder_tpu.cli import ae_import_tf
+
+        ws_path = str(tmp_path / "ws")
+        monkeypatch.setenv("AE_WORKSPACE_PATH", ws_path)
+        from augmentedautoencoder_tpu import workspace as wsmod
+
+        wsmod.init_workspace(ws_path)
+
+        cfg_path = tmp_path / "imported.cfg"
+        cfg_path.write_text(textwrap.dedent(f"""
+            [Paths]
+            MODEL_PATH: /nonexistent.ply
+            BACKGROUND_IMAGES_GLOB: /nonexistent/*.jpg
+            [Dataset]
+            MODEL: reconst
+            H: {H}
+            W: {W}
+            C: 3
+            RADIUS: 700
+            [Embedding]
+            EMBED_BB: True
+            MIN_N_VIEWS: 12
+            NUM_CYCLO: 4
+            [Network]
+            LATENT_SPACE_SIZE: {LATENT}
+            NUM_FILTER: {FILTERS}
+            STRIDES: {STRIDES}
+            """))
+
+        monkeypatch.setattr(
+            sys, "argv",
+            ["prog", tf_run["ckpt"], "imported_exp", "--cfg", str(cfg_path),
+             "--scope", "my_exp"],
+        )
+        ae_import_tf.main()
+
+        from augmentedautoencoder_tpu import factory
+
+        codebook = factory.build_codebook_from_name("imported_exp")
+        # the imported 50-row embedding answers queries; R comes from the
+        # 12x4 viewsphere (50 > 48 rows: imported codebooks may be any size
+        # — index into viewsphere is only valid for matching sizes, so use
+        # return_idcs here)
+        x = np.asarray(tf_run["x"][0])
+        idx = codebook.nearest_rotation(x, return_idcs=True)
+        assert 0 <= int(idx[0]) < 50
+        # the query's latent must equal the TF graph's z for the same input
+        z = codebook.test_embedding(x, normalized=False)
+        np.testing.assert_allclose(z, tf_run["z"][0], atol=2e-4)
+
     def test_import_to_orbax_checkpoint(self, tf_run, tmp_path):
         from augmentedautoencoder_tpu.training.tf_interop import (
             import_reference_checkpoint,

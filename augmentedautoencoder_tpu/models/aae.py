@@ -56,6 +56,7 @@ class AAE(nn.Module):
     loss_type: str = "L2"
     bootstrap_ratio: int = 4
     norm_regularize: float = 0.0
+    precision: str = "float32"  # activation compute dtype: float32 | bfloat16
 
     @classmethod
     def from_config(cls, cfg: TrainConfig) -> "AAE":
@@ -72,9 +73,11 @@ class AAE(nn.Module):
             loss_type=cfg.loss,
             bootstrap_ratio=cfg.bootstrap_ratio,
             norm_regularize=cfg.norm_regularize,
+            precision=cfg.precision,
         )
 
     def setup(self):
+        compute_dtype = jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
         self.encoder = Encoder(
             latent_space_size=self.latent_space_size,
             num_filters=self.num_filters,
@@ -82,6 +85,7 @@ class AAE(nn.Module):
             strides=self.strides,
             batch_norm=self.batch_norm,
             variational=self.variational > 0,
+            compute_dtype=compute_dtype,
         )
         self.decoder = Decoder(
             output_shape=self.input_shape,
@@ -90,6 +94,7 @@ class AAE(nn.Module):
             strides=tuple(reversed(self.strides)),
             batch_norm=self.batch_norm,
             auxiliary_mask=self.auxiliary_mask,
+            compute_dtype=compute_dtype,
         )
 
     def encode(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -36,37 +36,49 @@ class Decoder(nn.Module):
     strides: Sequence[int] = (2, 2, 2, 2)  # already reversed
     batch_norm: bool = False
     auxiliary_mask: bool = False
+    #: activation compute dtype (params stay f32)
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False):
         h, w, c = self.output_shape
         k = self.kernel_size
+        dt = self.compute_dtype
         strides = list(self.strides)
         layer_dims = [
             (int(h / np.prod(strides[i:])), int(w / np.prod(strides[i:])))
             for i in range(len(strides))
         ]
 
-        x = nn.Dense(layer_dims[0][0] * layer_dims[0][1] * self.num_filters[0])(z)
+        x = nn.Dense(
+            layer_dims[0][0] * layer_dims[0][1] * self.num_filters[0], dtype=dt
+        )(z.astype(dt))
         x = nn.relu(x)
         if self.batch_norm:
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
         x = x.reshape((-1, layer_dims[0][0], layer_dims[0][1], self.num_filters[0]))
 
         for filters, layer_size in zip(self.num_filters[1:], layer_dims[1:]):
             x = _nn_resize(x, layer_size)
-            x = nn.Conv(filters, (k, k), padding="SAME")(x)
+            x = nn.Conv(filters, (k, k), padding="SAME", dtype=dt)(x)
             x = nn.relu(x)
             if self.batch_norm:
-                x = nn.BatchNorm(use_running_average=not train)(x)
+                x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
 
         x = _nn_resize(x, (h, w))
 
         mask = None
         if self.auxiliary_mask:
-            mask = nn.sigmoid(nn.Conv(1, (k, k), padding="SAME", name="mask_head")(x))
+            mask = nn.sigmoid(
+                nn.Conv(1, (k, k), padding="SAME", name="mask_head",
+                        dtype=jnp.float32)(x.astype(jnp.float32))
+            )
 
-        x = nn.sigmoid(nn.Conv(c, (k, k), padding="SAME", name="reconstruction")(x))
+        # final head in f32: the loss top-k is precision-sensitive
+        x = nn.sigmoid(
+            nn.Conv(c, (k, k), padding="SAME", name="reconstruction",
+                    dtype=jnp.float32)(x.astype(jnp.float32))
+        )
         if self.auxiliary_mask:
             return x, mask
         return x

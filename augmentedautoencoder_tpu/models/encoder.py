@@ -25,17 +25,26 @@ class Encoder(nn.Module):
     strides: Sequence[int] = (2, 2, 2, 2)
     batch_norm: bool = False
     variational: bool = False
+    #: activation compute dtype (params stay f32); bfloat16 targets the MXU
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         k = self.kernel_size
+        x = x.astype(self.compute_dtype)
         for filters, stride in zip(self.num_filters, self.strides):
-            x = nn.Conv(filters, (k, k), strides=(stride, stride), padding="SAME")(x)
+            x = nn.Conv(
+                filters, (k, k), strides=(stride, stride), padding="SAME",
+                dtype=self.compute_dtype,
+            )(x)
             x = nn.relu(x)
             if self.batch_norm:
-                x = nn.BatchNorm(use_running_average=not train)(x)
+                x = nn.BatchNorm(use_running_average=not train, dtype=self.compute_dtype)(x)
         x = x.reshape((x.shape[0], -1))
-        z = nn.Dense(self.latent_space_size, name="latent")(x)
+        # the latent head runs in f32: codebook cosine matching depends on it
+        z = nn.Dense(self.latent_space_size, name="latent", dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
 
         if not self.variational:
             return z

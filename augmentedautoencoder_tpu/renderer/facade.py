@@ -206,5 +206,26 @@ class Renderer:
             scene_bgr[closer] = bgr[closer]
         return scene_bgr, scene_depth, bbs
 
+    def render_normals(
+        self,
+        obj_id: int,
+        W: int,
+        H: int,
+        K: np.ndarray,
+        R: np.ndarray,
+        t: np.ndarray,
+        near: float,
+        far: float,
+        phong: Dict[str, float] = DEFAULT_PHONG,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(bgr, depth, normals) with camera-space normals as n*0.5+0.5 —
+        the meshrenderer_phong_normals variant's third color attachment.
+        Always uses the numpy rasterizer (the normals path is cold)."""
+        return raster_numpy.render_mesh(
+            self._meshes[obj_id], int(W), int(H), K, R, t, near, far,
+            FIXED_LIGHT, phong["ambient"], phong["diffuse"], phong["specular"],
+            return_normals=True,
+        )
+
     def close(self) -> None:  # API parity; nothing to release
         pass

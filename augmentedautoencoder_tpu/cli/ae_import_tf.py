@@ -13,7 +13,6 @@ import os
 import shutil
 
 from .. import factory
-from .. import workspace as ws
 from ..config import load_train_config
 from ..training.tf_interop import import_reference_checkpoint
 from . import split_experiment_name

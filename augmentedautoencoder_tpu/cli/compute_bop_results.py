@@ -17,7 +17,6 @@ from collections import defaultdict
 
 import numpy as np
 
-from ..config import safe_eval
 from ..evaluation.bop_writer import BopEstimate, write_bop_csv
 from ..evaluation.scene_loader import SceneLoader, scene_dir_for
 from ..pose.estimator import AePoseEstimator

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import TrainConfig
-from .ops import cosine_similarity_topk, cosine_top1
+from .ops import cosine_top1
 from .ops.nn_query import cosine_similarities, l2_normalize
 from .utils import batch_iteration_indices
 

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import configparser
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List
 
 from .safe_eval import safe_eval
 

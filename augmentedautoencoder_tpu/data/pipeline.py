@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrainConfig
-from . import augment_spec as S
 from .augment import build_augmenter
 
 Array = jax.Array

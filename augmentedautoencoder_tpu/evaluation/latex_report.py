@@ -12,7 +12,7 @@ import json
 import os
 import shutil
 import subprocess
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 _PREAMBLE = r"""\documentclass[a4paper]{article}

@@ -8,7 +8,7 @@ written as PNGs into the eval dir (headless Agg backend).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

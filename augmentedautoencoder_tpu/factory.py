@@ -10,13 +10,10 @@ reference entry point used by every inference consumer
 from __future__ import annotations
 
 import os
-import shutil
 from functools import partial
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from . import workspace as ws
 from .codebook import Codebook
@@ -40,7 +37,7 @@ def make_encode_fn(model: AAE, params, batch_stats=None, mesh=None):
         variables["batch_stats"] = batch_stats
 
     if mesh is not None:
-        from .parallel import batch_sharding, replicated
+        from .parallel import batch_sharding
 
         in_sh = batch_sharding(mesh)
         out_sh = batch_sharding(mesh)

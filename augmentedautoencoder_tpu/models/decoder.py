@@ -10,7 +10,7 @@ sigmoid mask from the last feature map (decoder.py:68-75).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

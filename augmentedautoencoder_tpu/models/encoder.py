@@ -11,7 +11,7 @@ strides [2,2,2,2], kernel 5 -> 8x8x512 feature map -> z in R^128.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

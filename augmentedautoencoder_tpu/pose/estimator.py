@@ -12,7 +12,6 @@ reference's per-detection session.run loop (ae_pose_estimator.py:143-229).
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -4,7 +4,7 @@ a daemon thread keeps grabbing frames so consumers always read the latest."""
 from __future__ import annotations
 
 import threading
-from typing import Optional, Tuple
+from typing import Optional
 
 
 class WebcamVideoStream:

@@ -19,7 +19,7 @@ two agree. This numpy path is the always-available fallback.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -3,9 +3,8 @@
 
 from __future__ import annotations
 
-import os
 import xml.etree.ElementTree as ET
-from typing import List, Sequence
+from typing import Sequence
 
 
 def write_voc_xml(

@@ -13,14 +13,10 @@ inserts the gradient all-reduce (see parallel/mesh.py for the layout story).
 
 from __future__ import annotations
 
-import os
 import time
-from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from ..config import TrainConfig
 from ..data.pipeline import DeviceDataset

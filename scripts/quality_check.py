@@ -40,7 +40,6 @@ def main() -> None:
     import configparser
 
     import jax
-    import jax.numpy as jnp
 
     from augmentedautoencoder_tpu.codebook import Codebook
     from augmentedautoencoder_tpu.config import TrainConfig

@@ -25,6 +25,7 @@ class EvalConfig:
     # [BBOXES]
     estimate_bbs: bool = False
     est_bbs_type: str = "gt"
+    detections_path: str = ""  # json: {scene: {im: [{obj_id, bbox, score}]}}
     single_instance: bool = True
     icp: bool = False
     gt_masks: bool = False
@@ -85,6 +86,7 @@ def load_eval_config(path_or_parser) -> EvalConfig:
 
     cfg.estimate_bbs = get("BBOXES", "ESTIMATE_BBS", cfg.estimate_bbs)
     cfg.est_bbs_type = get("BBOXES", "EST_BBS_TYPE", cfg.est_bbs_type)
+    cfg.detections_path = get("BBOXES", "DETECTIONS_PATH", cfg.detections_path)
     cfg.single_instance = get("BBOXES", "SINGLE_INSTANCE", cfg.single_instance)
     cfg.icp = get("BBOXES", "ICP", cfg.icp)
     cfg.gt_masks = get("BBOXES", "GT_MASKS", cfg.gt_masks)

@@ -56,6 +56,12 @@ class Evaluator:
         self.model_pts = model_pts
         self.model_diameter = model_diameter
         self.icp_handle = icp_handle
+        self._detections = None
+        if eval_cfg.estimate_bbs and eval_cfg.detections_path:
+            import json as _json
+
+            with open(eval_cfg.detections_path) as fh:
+                self._detections = _json.load(fh)
 
     # ------------------------------------------------------------- pose
     def estimate_image(
@@ -90,6 +96,41 @@ class Evaluator:
         img = loader.load_rgb(im_id)
         K_test = loader.cameras[im_id]["K"]
         H, W = img.shape[:2]
+
+        # external detections replace GT boxes (reference ae_eval.py:109-126
+        # with EST_BBS_TYPE external yaml); gt_idx -1 marks "unassigned" —
+        # errors are computed vs all GTs and matching assigns greedily
+        if self._detections is not None:
+            dets = (
+                self._detections.get(str(scene_id), {}).get(str(im_id), [])
+            )
+            dets = [d for d in dets if int(d.get("obj_id", ec.obj_id)) == ec.obj_id]
+            results = []
+            if not dets:
+                return []
+            crops_d, bbs_d, scores = [], [], []
+            for d in dets:
+                crop = extract_square_patch(
+                    img, d["bbox"], self.train_cfg.pad_factor,
+                    resize=(self.train_cfg.w, self.train_cfg.h),
+                )
+                crops_d.append(crop)
+                bbs_d.append(d["bbox"])
+                scores.append(float(d.get("score", 1.0)))
+            t0 = time.time()
+            Rs, ts, _ = self.codebook.auto_pose6d_batch(
+                np.stack(crops_d), np.stack(bbs_d), K_test, self.train_cfg
+            )
+            aae_time = time.time() - t0
+            for k in range(len(dets)):
+                results.append(
+                    EvalResult(
+                        scene_id=scene_id, im_id=im_id, obj_id=ec.obj_id,
+                        R_est=Rs[k], t_est=ts[k], score=scores[k], gt_idx=-1,
+                        run_time=aae_time / len(dets),
+                    )
+                )
+            return results
 
         crops, bbs, gt_idcs = [], [], []
         for gi, gt in gts:
@@ -193,7 +234,12 @@ class Evaluator:
                 for r in results:
                     if ec.compute_errors:
                         errs = self.compute_errors(loader, r)
-                        r.errors = {t: errs[t][r.gt_idx] for t in ec.error_types}
+                        if r.gt_idx >= 0:
+                            r.errors = {t: errs[t][r.gt_idx] for t in ec.error_types}
+                        else:  # external detection: report best-GT error
+                            r.errors = {
+                                t: min(errs[t].values()) for t in ec.error_types
+                            }
                         for et in ec.error_types:
                             estimates_per_type[et].append(
                                 EstimateErrors(

@@ -180,6 +180,90 @@ class TestEvalPipeline:
             json.dump(cam, fh)
         return scene_dir
 
+    def test_evaluator_with_external_detections(self, tmp_path):
+        """EST_BBS path: detections json replaces GT boxes."""
+        import jax.numpy as jnp
+
+        from augmentedautoencoder_tpu.codebook import Codebook
+        from augmentedautoencoder_tpu.config import TrainConfig
+        from augmentedautoencoder_tpu.config.eval_config import EvalConfig
+        from augmentedautoencoder_tpu.evaluation.evaluator import Evaluator
+        from augmentedautoencoder_tpu.geometry.view_sampler import (
+            calc_2d_bbox,
+            viewsphere_rotations,
+        )
+        from augmentedautoencoder_tpu.renderer import Renderer
+        from augmentedautoencoder_tpu.renderer.procedural import make_icosphere
+
+        renderer = Renderer([], backend="numpy",
+                            meshes=[make_icosphere(subdivisions=2, radius=60.0)])
+        views = viewsphere_rotations(12, 4, 300.0)
+        scene_dir = self._make_scene(str(tmp_path / "data"), renderer, [views[2]])
+
+        # detections: the true bbox, slightly jittered
+        import cv2
+
+        depth = cv2.imread(os.path.join(scene_dir, "depth", "000000.png"),
+                           cv2.IMREAD_UNCHANGED)
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = [float(v) for v in calc_2d_bbox(xs, ys, (90, 68))]
+        det_json = {"1": {"0": [{"obj_id": 1, "bbox": [x - 1, y, w + 2, h], "score": 0.9}]}}
+        det_path = tmp_path / "dets.json"
+        with open(det_path, "w") as fh:
+            json.dump(det_json, fh)
+
+        # identity-style codebook: encode crops with a trivial projection so
+        # self-similar crops retrieve plausibly (quality isn't the point —
+        # the detection plumbing is)
+        train_cfg = TrainConfig(h=32, w=32, c=3)
+        train_cfg.radius = 300.0
+        train_cfg.render_dims = (90, 68)
+        train_cfg.k = tuple(K.ravel())
+        train_cfg.min_n_views, train_cfg.num_cyclo = 12, 4
+
+        def encode(xb):
+            b = xb.shape[0]
+            pooled = xb.reshape(b, -1)
+            cols = (jnp.arange(16) * (pooled.shape[1] // 16)).astype(jnp.int32)
+            return pooled[:, cols]
+
+        # embedding from rendered views through the same encoder
+        import jax
+
+        emb_imgs = []
+        bbs = []
+        for R in views:
+            bgr, d = renderer.render(0, 90, 68, K, R, np.array([0, 0, 300.0]), 10, 10000)
+            ys2, xs2 = np.nonzero(d > 0)
+            bb = calc_2d_bbox(xs2, ys2, (90, 68))
+            bbs.append(bb)
+            from augmentedautoencoder_tpu.data.dataset import extract_square_patch
+
+            emb_imgs.append(extract_square_patch(bgr, bb, 1.2, resize=(32, 32)) / 255.0)
+        z = np.asarray(encode(jnp.asarray(np.stack(emb_imgs), jnp.float32)))
+        z = z / np.maximum(np.linalg.norm(z, axis=1, keepdims=True), 1e-9)
+        codebook = Codebook(encode, views, z, np.asarray(bbs), num_cyclo=4)
+
+        ec = EvalConfig()
+        ec.dataset_path = str(tmp_path / "data")
+        ec.obj_id = 1
+        ec.scenes = [1]
+        ec.cam_type = ""
+        ec.estimate_bbs = True
+        ec.detections_path = str(det_path)
+        ec.error_types = ["re", "te"]
+        ec.error_thresh_deg = 180.0
+        ec.error_thresh_mm = 1e9
+
+        ev = Evaluator(codebook, train_cfg, ec)
+        out = ev.run(str(tmp_path / "evalout"), progress=False)
+        assert len(out["results"]) == 1
+        r = out["results"][0]
+        assert r.score == 0.9 and r.gt_idx == -1
+        assert "re" in r.errors and "te" in r.errors
+        # generous thresholds -> recall 1
+        assert out["scores"]["re"]["recall"] == 1.0
+
     def test_ae_eval_cli_on_synthetic_scene(self, tmp_path, monkeypatch):
         # reuse the e2e workspace recipe: train + embed a tiny experiment
         from tests.test_end_to_end import TINY_CFG

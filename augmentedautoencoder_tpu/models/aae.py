@@ -146,4 +146,9 @@ class AAE(nn.Module):
             total = total + self.variational * kl
 
         losses["total_loss"] = total
+        if train:
+            # latent statistics for the metric writer (the reference logs
+            # latent mean/variance histograms, ae.py:19)
+            losses["z_mean"] = z.mean()
+            losses["z_std"] = z.std()
         return AAEOutputs(z=z, reconstruction=reconstruction, pred_mask=pred_mask, losses=losses)

@@ -75,6 +75,7 @@ class TrainConfig:
     learning_rate: float = 2e-4
     save_interval: int = 10000
     precision: str = "float32"  # activation compute dtype: float32 | bfloat16
+    topk_mode: str = "exact"  # bootstrapped-loss top-k: exact | approx
 
     # [Queue] — host prefetch depth in the TPU build (reference used a
     # tf.FIFOQueue + 10 threads, auto_pose/ae/queue.py:27-74)
@@ -226,6 +227,7 @@ def load_train_config(path_or_parser) -> TrainConfig:
     cfg.learning_rate = _get(cp, "Training", "LEARNING_RATE", cfg.learning_rate)
     cfg.save_interval = _get(cp, "Training", "SAVE_INTERVAL", cfg.save_interval)
     cfg.precision = _get(cp, "Training", "PRECISION", cfg.precision)
+    cfg.topk_mode = _get(cp, "Training", "TOPK_MODE", cfg.topk_mode)
 
     cfg.num_threads = _get(cp, "Queue", "NUM_THREADS", cfg.num_threads)
     cfg.queue_size = _get(cp, "Queue", "QUEUE_SIZE", cfg.queue_size)

@@ -61,9 +61,18 @@ def extract_square_patch(
 
 
 class Dataset:
-    """Rendered training data + embedding view sphere for one object."""
+    """Rendered training data + embedding view sphere for one object.
 
-    def __init__(self, dataset_path: str, cfg: TrainConfig, renderer=None):
+    `render_workers` > 1 parallelizes offline rendering with threads — the
+    native rasterizer releases the GIL, so this scales with host cores
+    (the reference renders strictly serially through one GL context).
+    """
+
+    def __init__(self, dataset_path: str, cfg: TrainConfig, renderer=None,
+                 render_workers: int = 0):
+        import os as _os
+
+        self.render_workers = render_workers or min(8, _os.cpu_count() or 1)
         self.cfg = cfg
         self.shape = cfg.shape
         self.dataset_path = dataset_path
@@ -178,11 +187,16 @@ class Dataset:
         H, W = cfg.h, cfg.w
         render_dims = cfg.render_dims
 
-        for i in range(self.noof_training_imgs):
+        # rotations drawn sequentially (reproducible), renders threaded
+        Rs = [
+            transform.random_rotation_matrix()[:3, :3]
+            for _ in range(self.noof_training_imgs)
+        ]
+
+        def process(i):
             if progress and i % 500 == 0:
                 print(f"rendering training images {i}/{self.noof_training_imgs}")
-            R = transform.random_rotation_matrix()[:3, :3]
-            bgr_x, depth_x, bgr_y, depth_y = self._render_pair(R)
+            bgr_x, depth_x, bgr_y, depth_y = self._render_pair(Rs[i])
 
             ys, xs = np.nonzero(depth_x > 0)
             if len(xs) == 0:
@@ -215,6 +229,15 @@ class Dataset:
             self.mask_x[i] = mask_x
             self.train_y[i] = crop_y.astype(np.uint8)
 
+        if self.render_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.render_workers) as pool:
+                list(pool.map(process, range(self.noof_training_imgs)))
+        else:
+            for i in range(self.noof_training_imgs):
+                process(i)
+
     def render_embedding_image_batch(self, start: int, end: int) -> Tuple[np.ndarray, np.ndarray]:
         """Render + crop embedding views [start, end); returns
         (batch float in [0,1], obj_bbs int) — reference dataset.py:308-352."""
@@ -223,20 +246,32 @@ class Dataset:
         batch = np.empty((end - start,) + self.shape)
         obj_bbs = np.empty((end - start, 4))
 
-        for i, R in enumerate(self.viewsphere_for_embedding[start:end]):
+        def render_one(R):
             bgr_y, depth_y = self.renderer.render(
                 0, cfg.render_dims[0], cfg.render_dims[1], cfg.K.copy(), R, t,
                 cfg.clip_near, cfg.clip_far, random_light=False,
             )
             ys, xs = np.nonzero(depth_y > 0)
             obj_bb = view_sampler.calc_2d_bbox(xs, ys, cfg.render_dims)
-            obj_bbs[i] = obj_bb
             crop = extract_square_patch(bgr_y, obj_bb, cfg.pad_factor, resize=self.shape[:2])
             if self.shape[2] == 1:
                 import cv2
 
                 crop = cv2.cvtColor(crop, cv2.COLOR_BGR2GRAY)[:, :, None]
-            batch[i] = crop / 255.0
+            return crop / 255.0, obj_bb
+
+        views = self.viewsphere_for_embedding[start:end]
+        if self.render_workers > 1:
+            # threads scale: the native rasterizer releases the GIL
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.render_workers) as pool:
+                results = list(pool.map(render_one, views))
+        else:
+            results = [render_one(R) for R in views]
+        for i, (crop, obj_bb) in enumerate(results):
+            batch[i] = crop
+            obj_bbs[i] = obj_bb
         return batch, obj_bbs
 
     def render_rot(self, R: np.ndarray, downSample: int = 1) -> np.ndarray:

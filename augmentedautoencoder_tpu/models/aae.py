@@ -57,6 +57,7 @@ class AAE(nn.Module):
     bootstrap_ratio: int = 4
     norm_regularize: float = 0.0
     precision: str = "float32"  # activation compute dtype: float32 | bfloat16
+    topk_mode: str = "exact"  # bootstrapped-loss selection: exact | approx
 
     @classmethod
     def from_config(cls, cfg: TrainConfig) -> "AAE":
@@ -74,6 +75,7 @@ class AAE(nn.Module):
             bootstrap_ratio=cfg.bootstrap_ratio,
             norm_regularize=cfg.norm_regularize,
             precision=cfg.precision,
+            topk_mode=cfg.topk_mode,
         )
 
     def setup(self):
@@ -125,7 +127,8 @@ class AAE(nn.Module):
 
         losses: Dict[str, jax.Array] = {}
         reconst = bootstrapped_reconstruction_loss(
-            reconstruction, target, self.bootstrap_ratio, self.loss_type
+            reconstruction, target, self.bootstrap_ratio, self.loss_type,
+            topk_mode=self.topk_mode,
         )
         losses["reconst_loss"] = reconst
         total = reconst

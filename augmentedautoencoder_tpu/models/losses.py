@@ -25,10 +25,14 @@ def bootstrapped_reconstruction_loss(
     target: jax.Array,
     bootstrap_ratio: int = 4,
     loss_type: str = "L2",
+    topk_mode: str = "exact",
 ) -> jax.Array:
     """Mean of the top (numel // bootstrap_ratio) per-element errors.
 
-    With bootstrap_ratio <= 1 this is the plain mean error.
+    With bootstrap_ratio <= 1 this is the plain mean error. topk_mode
+    'approx' uses the TPU's fast approx_max_k (recall ~0.95) — ~8 ms/step
+    cheaper than the exact 49k-wide sort at batch 64 (PERF.md); the selected
+    hard-pixel set differs slightly, which training tolerates.
     """
     b = reconstruction.shape[0]
     flat_r = reconstruction.reshape(b, -1)
@@ -42,7 +46,10 @@ def bootstrapped_reconstruction_loss(
 
     if bootstrap_ratio > 1:
         k = err.shape[1] // bootstrap_ratio
-        topk, _ = jax.lax.top_k(err, k)
+        if topk_mode == "approx":
+            topk, _ = jax.lax.approx_max_k(err, k)
+        else:
+            topk, _ = jax.lax.top_k(err, k)
         return topk.mean()
     return err.mean()
 

@@ -89,6 +89,22 @@ class TestTrainStep:
         )
 
 
+class TestShardedEncode:
+    def test_encode_over_8_device_mesh_matches_single(self):
+        from augmentedautoencoder_tpu.factory import make_encode_fn
+        from augmentedautoencoder_tpu.models import AAE
+
+        cfg = tiny_cfg()
+        model = AAE.from_config(cfg)
+        x = jax.random.uniform(KEY, (16, H, W, 3))
+        variables = jax.jit(model.init)(KEY, x, x)
+        single = make_encode_fn(model, variables["params"])
+        sharded = make_encode_fn(model, variables["params"], mesh=make_mesh())
+        np.testing.assert_allclose(
+            np.asarray(single(x)), np.asarray(sharded(x)), atol=1e-5
+        )
+
+
 class TestTrainer:
     def test_trainer_runs_and_saves(self, tmp_path):
         cfg = tiny_cfg(num_iter=6, save_interval=3)

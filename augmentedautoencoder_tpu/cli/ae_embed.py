@@ -59,6 +59,9 @@ def main() -> None:
         return
 
     batch_size = args.batch_size or max(cfg.batch_size, 256)
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        batch_size = max(n_dev, (batch_size // n_dev) * n_dev)  # shardable
     print(f"embedding {dataset.embedding_size} views (batch {batch_size}) ...")
     embedding, obj_bbs = Codebook.build_embedding(
         encode, dataset.render_embedding_image_batch, dataset.embedding_size, batch_size

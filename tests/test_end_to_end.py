@@ -230,6 +230,29 @@ class TestEndToEnd:
         )
         assert poses2 == []
 
+        # multi-class frame: two codebooks (here backed by the same
+        # experiment) grouped and batched per class in one process() call
+        test_cfg2 = tmp_path / "m3_two.cfg"
+        test_cfg2.write_text(
+            "[auto_pose]\n"
+            "camPose = False\n"
+            "upright = False\n"
+            "topk = 1\n"
+            "color_format = bgr\n"
+            "color_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj', 'sphere2': 'e2e_obj'}\n"
+        )
+        est2 = AePoseEstimator(str(test_cfg2))
+        box2 = BoundingBox(
+            xmin=x / W, ymin=y / H, xmax=(x + w) / W, ymax=(y + h) / H,
+            classes={"sphere2": 0.8},
+        )
+        poses3 = est2.process(bboxes=[box, box2], color_img=bgr, camK=cfg.K)
+        assert {p.name for p in poses3} == {"sphere", "sphere2"}
+        # same crop through the same weights -> identical pose
+        np.testing.assert_allclose(poses3[0].trafo, poses3[1].trafo, atol=1e-6)
+
     def test_resume_from_checkpoint(self, workspace, monkeypatch):
         from augmentedautoencoder_tpu.cli import ae_train
 

@@ -19,9 +19,16 @@ import numpy as np
 
 
 def _nn_resize(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
-    """Nearest-neighbor resize matching tf.image.resize_nearest_neighbor."""
+    """Nearest-neighbor resize matching tf.image.resize_nearest_neighbor.
+
+    Integer upscale factors use repeat (broadcast+reshape on TPU; its
+    backward is a cheap reshape-sum) — gather-based indexing and its
+    scatter-add gradient are dramatically slower on TPU and dominated the
+    train step before this (PERF.md)."""
     b, h, w, c = x.shape
     th, tw = size
+    if th % h == 0 and tw % w == 0:
+        return jnp.repeat(jnp.repeat(x, th // h, axis=1), tw // w, axis=2)
     ridx = (jnp.arange(th) * h // th).astype(jnp.int32)
     cidx = (jnp.arange(tw) * w // tw).astype(jnp.int32)
     return x[:, ridx][:, :, cidx]

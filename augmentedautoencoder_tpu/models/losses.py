@@ -46,11 +46,17 @@ def bootstrapped_reconstruction_loss(
 
     if bootstrap_ratio > 1:
         k = err.shape[1] // bootstrap_ratio
+        # threshold-select: find the per-row k-th largest under
+        # stop_gradient, then average the masked errors. Equal to top-k mean
+        # (float ties at the threshold are measure-zero; tied zeros add
+        # nothing), but the BACKWARD is an elementwise multiply instead of
+        # the scatter that top_k's gradient lowers to on TPU (PERF.md).
         if topk_mode == "approx":
-            topk, _ = jax.lax.approx_max_k(err, k)
+            kth = jax.lax.approx_max_k(jax.lax.stop_gradient(err), k)[0][:, -1:]
         else:
-            topk, _ = jax.lax.top_k(err, k)
-        return topk.mean()
+            kth = jax.lax.top_k(jax.lax.stop_gradient(err), k)[0][:, -1:]
+        mask = (err >= kth).astype(err.dtype)
+        return (err * mask).sum() / (err.shape[0] * k)
     return err.mean()
 
 

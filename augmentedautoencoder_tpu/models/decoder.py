@@ -34,6 +34,33 @@ def _nn_resize(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     return x[:, ridx][:, :, cidx]
 
 
+class _UpConv(nn.Module):
+    """Fused 2x-NN-upsample + conv, parameter-compatible with nn.Conv
+    (same 'kernel'/'bias' names and shapes, so checkpoints interchange).
+
+    Exactly equals resize_nearest(2x) -> conv (ops/fused_upconv.py) but the
+    upsampled activation map never exists — it was the train step's largest
+    HBM traffic (PERF.md: decoder stages 2.4x faster fused)."""
+
+    features: int
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.fused_upconv import upsample2x_conv
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return upsample2x_conv(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+        )
+
+
 class Decoder(nn.Module):
     """Call with the latent code; emits the reconstruction (and mask)."""
 
@@ -65,27 +92,44 @@ class Decoder(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
         x = x.reshape((-1, layer_dims[0][0], layer_dims[0][1], self.num_filters[0]))
 
-        for filters, layer_size in zip(self.num_filters[1:], layer_dims[1:]):
-            x = _nn_resize(x, layer_size)
-            x = nn.Conv(filters, (k, k), padding="SAME", dtype=dt)(x)
+        for i, (filters, layer_size) in enumerate(
+            zip(self.num_filters[1:], layer_dims[1:])
+        ):
+            cur = x.shape[1:3]
+            if layer_size == (2 * cur[0], 2 * cur[1]):
+                # nn.Conv-compatible param path: name matches auto-numbering
+                x = _UpConv(filters, k, dtype=dt, name=f"Conv_{i}")(x)
+            else:
+                x = _nn_resize(x, layer_size)
+                x = nn.Conv(
+                    filters, (k, k), padding="SAME", dtype=dt, name=f"Conv_{i}"
+                )(x)
             x = nn.relu(x)
             if self.batch_norm:
                 x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
 
-        x = _nn_resize(x, (h, w))
-
         mask = None
-        if self.auxiliary_mask:
-            mask = nn.sigmoid(
-                nn.Conv(1, (k, k), padding="SAME", name="mask_head",
+        # final heads in f32: the loss top-k is precision-sensitive
+        cur = x.shape[1:3]
+        if (h, w) == (2 * cur[0], 2 * cur[1]):
+            if self.auxiliary_mask:
+                mask = nn.sigmoid(
+                    _UpConv(1, k, name="mask_head")(x.astype(jnp.float32))
+                )
+            x = nn.sigmoid(
+                _UpConv(c, k, name="reconstruction")(x.astype(jnp.float32))
+            )
+        else:
+            x = _nn_resize(x, (h, w))
+            if self.auxiliary_mask:
+                mask = nn.sigmoid(
+                    nn.Conv(1, (k, k), padding="SAME", name="mask_head",
+                            dtype=jnp.float32)(x.astype(jnp.float32))
+                )
+            x = nn.sigmoid(
+                nn.Conv(c, (k, k), padding="SAME", name="reconstruction",
                         dtype=jnp.float32)(x.astype(jnp.float32))
             )
-
-        # final head in f32: the loss top-k is precision-sensitive
-        x = nn.sigmoid(
-            nn.Conv(c, (k, k), padding="SAME", name="reconstruction",
-                    dtype=jnp.float32)(x.astype(jnp.float32))
-        )
         if self.auxiliary_mask:
             return x, mask
         return x

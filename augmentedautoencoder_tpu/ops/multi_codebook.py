@@ -30,12 +30,15 @@ Array = jax.Array
 _TILE_N = 2048
 
 
-def _mc_top1_kernel(n_valid, obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref, run_val, run_idx):
+def _mc_top1_kernel(obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref, run_val, run_idx):
     """Grid: (num_tiles,). cb block index_map consumes the prefetched object
     id of the current query GROUP (all queries in one call share obj id; the
-    host groups mixed batches — see multi_codebook_top1)."""
+    host groups mixed batches — see multi_codebook_top1). The prefetch ref
+    carries [obj_id, n_valid]; rows >= n_valid are zero padding and must
+    never win (cos 0.0 beats any all-negative true match otherwise)."""
     i = pl.program_id(0)
     tile_n = cb_ref.shape[0]
+    n_valid = obj_ids_ref[1]
 
     scores = jax.lax.dot_general(
         z_ref[:], cb_ref[:],
@@ -67,18 +70,26 @@ def _mc_top1_kernel(n_valid, obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref, run_v
 
 @functools.partial(jax.jit, static_argnames=("tile_n",))
 def grouped_codebook_top1(
-    z: Array, codebooks: Array, obj_id: Array, tile_n: int = _TILE_N
+    z: Array,
+    codebooks: Array,
+    obj_id: Array,
+    n_valid: Array | None = None,
+    tile_n: int = _TILE_N,
 ) -> Tuple[Array, Array]:
     """Top-1 for a batch of queries that all share ONE object id.
 
     codebooks: (O, N_pad, D) stacked, rows l2-normalized, padded rows zero.
     obj_id: () int32 — scalar-prefetched so the kernel DMAs only that
     object's tiles out of the HBM slab.
+    n_valid: () int32 — this object's true codebook length; padded rows at
+    indices >= n_valid are masked out (defaults to N_pad = no padding).
     """
     b, d = z.shape
     o, n_pad, _ = codebooks.shape
     assert n_pad % tile_n == 0
     num_tiles = n_pad // tile_n
+    if n_valid is None:
+        n_valid = jnp.asarray(n_pad, jnp.int32)
 
     from .nn_query import l2_normalize
 
@@ -107,7 +118,7 @@ def grouped_codebook_top1(
 
     def kernel(obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref, run_val, run_idx):
         _mc_top1_kernel(
-            n_pad, obj_ids_ref, z_ref, cb_ref[0], val_ref, idx_ref, run_val, run_idx
+            obj_ids_ref, z_ref, cb_ref[0], val_ref, idx_ref, run_val, run_idx
         )
 
     vals, idcs = pl.pallas_call(
@@ -122,16 +133,16 @@ def grouped_codebook_top1(
             bytes_accessed=n_pad * d * 4 + b * d * 4,
             transcendentals=0,
         ),
-    )(obj_id.reshape(1), q, codebooks)
+    )(jnp.stack([obj_id.astype(jnp.int32), jnp.asarray(n_valid, jnp.int32)]), q, codebooks)
     return vals[:, 0], idcs[:, 0]
 
 
-def stack_codebooks(codebooks, tile_n: int = _TILE_N) -> np.ndarray:
+def stack_codebooks(codebooks, tile_n: int = _TILE_N) -> Tuple[np.ndarray, np.ndarray]:
     """Stack per-object (N_i, D) codebooks into (O, N_pad, D), zero-padded.
 
-    Zero rows give cosine 0 which can exceed negative true matches, so the
-    kernel ALSO masks by the true length — pass `n_valid` per object via
-    multi_codebook_top1's lengths argument when sizes differ.
+    Returns (slab, lengths). Zero pad rows give cosine 0 which beats any
+    all-negative true match, so queries MUST mask by `lengths` — pass it to
+    multi_codebook_top1 / grouped_codebook_top1.
     """
     n_max = max(cb.shape[0] for cb in codebooks)
     n_pad = -(-n_max // tile_n) * tile_n
@@ -139,41 +150,53 @@ def stack_codebooks(codebooks, tile_n: int = _TILE_N) -> np.ndarray:
     out = np.zeros((len(codebooks), n_pad, d), np.float32)
     for i, cb in enumerate(codebooks):
         out[i, : cb.shape[0]] = cb
-    return out
+    lengths = np.asarray([cb.shape[0] for cb in codebooks], np.int32)
+    return out, lengths
 
 
 def multi_codebook_top1_xla(
-    z: Array, codebooks: Array, obj_ids: Array
+    z: Array, codebooks: Array, obj_ids: Array, lengths: Array | None = None
 ) -> Tuple[Array, Array]:
     """Mixed-object top-1 via one gathered einsum (off-TPU fallback):
-    each query dots only its own codebook by gathering (B, N, D)."""
+    each query dots only its own codebook by gathering (B, N, D).
+    Padded rows (col >= lengths[obj]) are masked to -2 (< any cosine)."""
     from .nn_query import l2_normalize
 
     q = l2_normalize(z)
     per_query_cb = codebooks[obj_ids]  # (B, N_pad, D) gather
     cos = jnp.einsum("bd,bnd->bn", q, per_query_cb)
+    if lengths is not None:
+        col = jnp.arange(cos.shape[1], dtype=jnp.int32)[None, :]
+        cos = jnp.where(col < lengths[obj_ids][:, None], cos, -2.0)
     idx = jnp.argmax(cos, axis=1)
     val = jnp.take_along_axis(cos, idx[:, None], axis=1)[:, 0]
     return val, idx
 
 
-def multi_codebook_top1(z, codebooks, obj_ids):
+def multi_codebook_top1(z, codebooks, obj_ids, lengths=None):
     """Dispatch: grouped Pallas path on TPU, gathered einsum elsewhere.
 
-    obj_ids: (B,) int32. On TPU, queries are grouped by object on the host
-    (python loop over unique ids — detection batches are small) and each
-    group runs the scalar-prefetch kernel.
+    obj_ids: (B,) int32. lengths: (O,) int32 true codebook sizes from
+    stack_codebooks (None = all objects fill the slab). On TPU, queries are
+    grouped by object on the host (python loop over unique ids — detection
+    batches are small) and each group runs the scalar-prefetch kernel.
     """
     if jax.default_backend() != "tpu":
-        return multi_codebook_top1_xla(z, codebooks, obj_ids)
+        return multi_codebook_top1_xla(z, codebooks, obj_ids, lengths)
 
     obj_ids_np = np.asarray(obj_ids)
+    lengths_np = None if lengths is None else np.asarray(lengths)
     vals = np.empty((len(obj_ids_np),), np.float32)
     idcs = np.empty((len(obj_ids_np),), np.int32)
     for obj in np.unique(obj_ids_np):
         sel = np.nonzero(obj_ids_np == obj)[0]
+        n_valid = (
+            None
+            if lengths_np is None
+            else jnp.asarray(lengths_np[int(obj)], jnp.int32)
+        )
         v, i = grouped_codebook_top1(
-            z[jnp.asarray(sel)], codebooks, jnp.asarray(obj, jnp.int32)
+            z[jnp.asarray(sel)], codebooks, jnp.asarray(obj, jnp.int32), n_valid
         )
         vals[sel] = np.asarray(v)
         idcs[sel] = np.asarray(i)

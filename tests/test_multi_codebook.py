@@ -24,8 +24,9 @@ def make_codebooks(sizes, d=32, seed=0):
 class TestStacking:
     def test_pad_and_stack(self):
         cbs = make_codebooks([100, 300, 257])
-        slab = stack_codebooks(cbs, tile_n=128)
+        slab, lengths = stack_codebooks(cbs, tile_n=128)
         assert slab.shape == (3, 384, 32)
+        np.testing.assert_array_equal(lengths, [100, 300, 257])
         np.testing.assert_array_equal(slab[0, 100:], 0.0)
         np.testing.assert_array_equal(slab[1, :300], cbs[1])
 
@@ -33,31 +34,60 @@ class TestStacking:
 class TestMixedQuery:
     def test_matches_per_object_numpy(self):
         cbs = make_codebooks([500, 700, 300])
-        slab = jnp.asarray(stack_codebooks(cbs, tile_n=256))
+        slab, lengths = stack_codebooks(cbs, tile_n=256)
         rng = np.random.RandomState(1)
         z = rng.randn(12, 32).astype(np.float32)
         obj_ids = rng.randint(0, 3, 12)
         vals, idcs = multi_codebook_top1(
-            jnp.asarray(z), slab, jnp.asarray(obj_ids)
+            jnp.asarray(z), jnp.asarray(slab), jnp.asarray(obj_ids),
+            jnp.asarray(lengths),
         )
         zn = z / np.linalg.norm(z, axis=1, keepdims=True)
         for k in range(12):
             expect = int(np.argmax(zn[k] @ cbs[obj_ids[k]].T))
             assert int(np.asarray(idcs)[k]) == expect
 
-    def test_padded_rows_never_win(self):
-        # all-negative similarities: zero pad rows (cos=0) would win if
-        # unmasked in the gathered-einsum fallback... the fallback has no
-        # n_valid mask, so codebooks must dominate pads only when real
-        # matches exist; construct a case where the best real match is
-        # negative and assert the pad row wins ONLY within padding — i.e.
-        # document the fallback contract: stacked slabs should be queried
-        # with equal-size codebooks (the AAE case: every object has N=92,232)
+    def test_ragged_padded_rows_never_win(self):
+        # The adversarial case for zero padding: every true cosine is
+        # NEGATIVE (codebook rows are -q directions), so an unmasked zero
+        # pad row (cos = 0.0) would beat the true best match and return an
+        # out-of-range index. Object 0's codebook (40 rows) is far smaller
+        # than the slab (object 1 pads it to 128 with tile_n=64).
+        d = 32
+        rng = np.random.RandomState(3)
+        # queries in the positive orthant, codebook rows in the negative
+        # orthant: every true cosine is strictly negative by construction
+        q = np.abs(rng.randn(6, d)).astype(np.float32) + 0.1
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        cb0 = -np.abs(rng.randn(40, d)).astype(np.float32) - 0.1
+        cb0 /= np.linalg.norm(cb0, axis=1, keepdims=True)
+        assert (q @ cb0.T < 0).all()
+        cb1 = make_codebooks([128], d=d, seed=4)[0]
+        slab, lengths = stack_codebooks([cb0, cb1], tile_n=64)
+        assert slab.shape[1] > cb0.shape[0]  # object 0 really is padded
+
+        vals, idcs = multi_codebook_top1(
+            jnp.asarray(q), jnp.asarray(slab),
+            jnp.zeros(6, jnp.int32), jnp.asarray(lengths),
+        )
+        expect = np.argmax(q @ cb0.T, axis=1)
+        np.testing.assert_array_equal(np.asarray(idcs), expect)
+        assert (np.asarray(vals) < 0).all()  # the winning match really is negative
+
+        # same contract on the explicit XLA fallback
+        vals2, idcs2 = multi_codebook_top1_xla(
+            jnp.asarray(q), jnp.asarray(slab),
+            jnp.zeros(6, jnp.int32), jnp.asarray(lengths),
+        )
+        np.testing.assert_array_equal(np.asarray(idcs2), expect)
+
+    def test_unmasked_fallback_kept_for_full_slabs(self):
+        # equal-size codebooks that exactly fill the slab need no lengths
         cbs = make_codebooks([64, 64])
-        slab = jnp.asarray(stack_codebooks(cbs, tile_n=64))
-        assert slab.shape[1] == 64  # no padding when sizes align to the tile
+        slab, lengths = stack_codebooks(cbs, tile_n=64)
+        assert slab.shape[1] == 64
         z = np.random.RandomState(2).randn(4, 32).astype(np.float32)
         vals, idcs = multi_codebook_top1_xla(
-            jnp.asarray(z), slab, jnp.asarray([0, 1, 0, 1])
+            jnp.asarray(z), jnp.asarray(slab), jnp.asarray([0, 1, 0, 1])
         )
         assert (np.asarray(idcs) < 64).all()

@@ -50,6 +50,7 @@ def main() -> None:
     out = import_reference_checkpoint(
         args.tf_checkpoint, scope, paths["checkpoint_dir"], step=step,
         num_filters=tuple(cfg.num_filter), auxiliary_mask=cfg.auxiliary_mask,
+        variational=bool(cfg.variational),
     )
     print(f"imported {args.tf_checkpoint} -> {out}")
 

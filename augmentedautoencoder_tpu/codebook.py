@@ -117,20 +117,21 @@ class Codebook:
         xb = self._prep(x)
         z = self._encode(xb)
 
+        # reference precedence (codebook.py:64-71): upright applies only at
+        # top_n == 1; top_n > 1 returns sorted argpartition results with
+        # upright IGNORED
         if top_n == 1 and not upright:
             _, idcs = cosine_top1(z, self.embedding_normalized)
             idcs = np.asarray(idcs)
+        elif top_n == 1:
+            cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
+            # restrict to cyclo-0 entries (codebook.py:66)
+            idcs = np.argmax(cos[:, :: self.num_cyclo], axis=1) * self.num_cyclo
         else:
             cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
-            if upright:
-                # restrict to cyclo-0 entries (codebook.py:66)
-                idcs = np.argmax(cos[:, :: self.num_cyclo], axis=1) * self.num_cyclo
-            elif top_n > 1:
-                flat = cos.squeeze(0)
-                part = np.argpartition(-flat, top_n)[:top_n]
-                idcs = part[np.argsort(-flat[part])]
-            else:
-                idcs = np.argmax(cos, axis=1)
+            flat = cos.squeeze(0)
+            part = np.argpartition(-flat, top_n)[:top_n]
+            idcs = part[np.argsort(-flat[part])]
 
         if return_idcs:
             return idcs

@@ -142,9 +142,17 @@ def _coarse_dropout(spec: S.CoarseDropout, rng, imgs):
 
 def _dropout(spec: S.Dropout, rng, imgs):
     b, h, w, c = imgs.shape
-    shape = (b, h, w, c if spec.per_channel >= 1.0 else 1)
-    keep = jax.random.bernoulli(rng, 1.0 - spec.p, shape)
-    return imgs * keep
+    k1, k2, k3 = jax.random.split(rng, 3)
+    keep_shared = jax.random.bernoulli(k1, 1.0 - spec.p, (b, h, w, 1))
+    if spec.per_channel >= 1.0:
+        return imgs * jax.random.bernoulli(k2, 1.0 - spec.p, (b, h, w, c))
+    if spec.per_channel > 0.0:
+        # imgaug fractional per_channel: each image independently chooses
+        # per-channel vs shared dropout with prob per_channel
+        keep_pc = jax.random.bernoulli(k2, 1.0 - spec.p, (b, h, w, c))
+        use_pc = jax.random.bernoulli(k3, spec.per_channel, (b, 1, 1, 1))
+        return imgs * jnp.where(use_pc, keep_pc, keep_shared)
+    return imgs * keep_shared
 
 
 def _gaussian_blur(spec: S.GaussianBlur, rng, imgs):
@@ -207,13 +215,15 @@ def _add(spec: S.Add, rng, imgs):
 def _additive_gaussian_noise(spec: S.AdditiveGaussianNoise, rng, imgs):
     b, h, w, c = imgs.shape
     lo, hi = S.as_range(spec.scale)
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     scale = jax.random.uniform(k1, (b, 1, 1, 1), minval=lo, maxval=hi)
     nshape = (b, h, w, c if spec.per_channel >= 1.0 else 1)
     noise = jax.random.normal(k2, nshape) * scale + spec.loc
     if 0.0 < spec.per_channel < 1.0:
+        # independent keys for the per-channel draw and the use_pc decision
+        # (sharing one key correlates the noise with the branch choice)
         noise_pc = jax.random.normal(k3, (b, h, w, c)) * scale + spec.loc
-        use_pc = jax.random.bernoulli(k3, spec.per_channel, (b, 1, 1, 1))
+        use_pc = jax.random.bernoulli(k4, spec.per_channel, (b, 1, 1, 1))
         noise = jnp.where(use_pc, noise_pc, jnp.broadcast_to(noise, (b, h, w, c)))
     return jnp.clip(imgs + noise, 0.0, 255.0)
 

@@ -51,9 +51,15 @@ def split_reference_variables(
     n_encoder_convs: int,
     n_decoder_convs: int,
     auxiliary_mask: bool = False,
+    variational: bool = False,
 ):
     """Group flat TF vars into (encoder convs, latent dense, decoder dense,
-    decoder convs, mask conv, final conv, codebook) by creation order."""
+    decoder convs, mask conv, final conv, codebook) by creation order.
+
+    Variational reference checkpoints (encoder.py:70-78) hold THREE denses:
+    dense (z), dense_1 (q_sigma, same kernel shape as z), dense_2 (decoder).
+    The sigma head is detected by shape and skipped — set `variational` to
+    require it (raises if the extra dense is absent)."""
     convs: Dict[int, Dict[str, np.ndarray]] = {}
     denses: Dict[int, Dict[str, np.ndarray]] = {}
     codebook = {}
@@ -78,7 +84,25 @@ def split_reference_variables(
     enc_convs = conv_order[:n_encoder_convs]
     dec_convs = conv_order[n_encoder_convs:]
     latent = dense_order[0]
-    dec_dense = dense_order[1] if len(dense_order) > 1 else None
+
+    rest = dense_order[1:]
+    sigma = None
+    # the q_sigma dense has the exact kernel shape of the latent dense;
+    # the decoder dense maps latent -> h/2^k * w/2^k * filters[-1]
+    if rest and rest[0]["kernel"].shape == latent["kernel"].shape:
+        sigma = rest[0]
+        rest = rest[1:]
+    if variational and sigma is None:
+        raise ValueError(
+            "variational=True but no q_sigma dense found in the checkpoint "
+            f"(dense kernel shapes: {[d['kernel'].shape for d in dense_order]})"
+        )
+    if sigma is not None and not variational:
+        raise ValueError(
+            "checkpoint contains a q_sigma dense (variational reference "
+            "model) — pass variational=True to import it"
+        )
+    dec_dense = rest[0] if rest else None
 
     mask_conv = None
     final_conv = dec_convs[-1] if dec_convs else None
@@ -90,6 +114,7 @@ def split_reference_variables(
     return {
         "encoder_convs": enc_convs,
         "latent": latent,
+        "latent_sigma": sigma,
         "decoder_dense": dec_dense,
         "decoder_convs": body_convs,
         "mask_conv": mask_conv,
@@ -102,6 +127,7 @@ def reference_params_to_flax(
     tf_vars: Dict[str, np.ndarray],
     num_filters: Tuple[int, ...] = (128, 256, 512, 512),
     auxiliary_mask: bool = False,
+    variational: bool = False,
 ) -> Dict:
     """Build the AAE flax params pytree from reference checkpoint variables.
 
@@ -110,7 +136,8 @@ def reference_params_to_flax(
     """
     n_enc = len(num_filters)
     groups = split_reference_variables(
-        tf_vars, n_enc, n_enc, auxiliary_mask=auxiliary_mask
+        tf_vars, n_enc, n_enc, auxiliary_mask=auxiliary_mask,
+        variational=variational,
     )
 
     def kb(layer):
@@ -120,6 +147,8 @@ def reference_params_to_flax(
     for i, layer in enumerate(groups["encoder_convs"]):
         encoder[f"Conv_{i}"] = kb(layer)
     encoder["latent"] = kb(groups["latent"])
+    if groups["latent_sigma"] is not None:
+        encoder["latent_sigma"] = kb(groups["latent_sigma"])
 
     decoder = {}
     if groups["decoder_dense"] is not None:
@@ -150,13 +179,15 @@ def import_reference_checkpoint(
     step: int = 0,
     num_filters: Tuple[int, ...] = (128, 256, 512, 512),
     auxiliary_mask: bool = False,
+    variational: bool = False,
 ) -> str:
     """One-call import: TF checkpoint -> orbax checkpoint in our layout."""
     from .checkpoint import CheckpointManager
 
     tf_vars = load_tf_checkpoint_variables(ckpt_path, scope)
     payload = reference_params_to_flax(
-        tf_vars, num_filters=num_filters, auxiliary_mask=auxiliary_mask
+        tf_vars, num_filters=num_filters, auxiliary_mask=auxiliary_mask,
+        variational=variational,
     )
     mgr = CheckpointManager(checkpoint_dir)
     return mgr.save(step, payload)

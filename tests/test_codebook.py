@@ -111,6 +111,15 @@ class TestCodebookQueries:
         idx = cb.nearest_rotation(x, upright=True, return_idcs=True)
         assert int(idx[0]) % 4 == 0  # restricted to cyclo-0 entries
 
+    def test_upright_ignored_when_top_n_gt_1(self):
+        # reference precedence (auto_pose/ae/codebook.py:64-71): top_n > 1
+        # runs the plain argpartition path; upright only applies at top_n == 1
+        cb, n = self._codebook(num_cyclo=4)
+        x = np.full((8, 8, 3), 6 / 1000.0, np.float32)  # 6 = view 1, cyclo 2
+        idcs = cb.nearest_rotation(x, top_n=3, upright=True, return_idcs=True)
+        assert len(idcs) == 3
+        assert int(idcs[0]) == 6  # NOT restricted to cyclo-0 multiples
+
     def test_batch_query(self):
         cb, n = self._codebook()
         xs = np.stack(

@@ -228,3 +228,67 @@ class TestTFInterop:
         assert int(restored["step"]) == 77
         assert "embedding_normalized" in restored
         assert "encoder" in restored["params"]
+
+
+class TestVariationalSplit:
+    """The VAE reference encoder creates dense (z) + dense_1 (q_sigma) before
+    the decoder's dense_2; the sigma head shares the latent kernel shape
+    (auto_pose/ae/encoder.py:70-78). Pure-dict test, no TF graph needed."""
+
+    def _vars(self, with_sigma):
+        rng = np.random.RandomState(0)
+        v = {
+            "conv2d/kernel": rng.randn(5, 5, 3, 8).astype(np.float32),
+            "conv2d/bias": np.zeros(8, np.float32),
+            "conv2d_1/kernel": rng.randn(5, 5, 8, 16).astype(np.float32),
+            "conv2d_1/bias": np.zeros(16, np.float32),
+            "dense/kernel": rng.randn(1024, 8).astype(np.float32),
+            "dense/bias": np.zeros(8, np.float32),
+        }
+        k = 1
+        if with_sigma:
+            v["dense_1/kernel"] = np.zeros((1024, 8), np.float32)
+            v["dense_1/bias"] = np.zeros(8, np.float32)
+            k = 2
+        v[f"dense_{k}/kernel"] = rng.randn(8, 1024).astype(np.float32)
+        v[f"dense_{k}/bias"] = np.zeros(1024, np.float32)
+        v["conv2d_2/kernel"] = rng.randn(5, 5, 16, 8).astype(np.float32)
+        v["conv2d_2/bias"] = np.zeros(8, np.float32)
+        v["conv2d_3/kernel"] = rng.randn(5, 5, 8, 3).astype(np.float32)
+        v["conv2d_3/bias"] = np.zeros(3, np.float32)
+        return v
+
+    def test_sigma_head_detected_and_decoder_dense_correct(self):
+        from augmentedautoencoder_tpu.training.tf_interop import (
+            split_reference_variables,
+        )
+
+        g = split_reference_variables(self._vars(True), 2, 2, variational=True)
+        assert g["latent_sigma"] is not None
+        assert g["latent_sigma"]["kernel"].shape == (1024, 8)
+        assert g["decoder_dense"]["kernel"].shape == (8, 1024)  # NOT the sigma
+
+    def test_vae_checkpoint_without_flag_raises(self):
+        from augmentedautoencoder_tpu.training.tf_interop import (
+            split_reference_variables,
+        )
+
+        with pytest.raises(ValueError, match="variational"):
+            split_reference_variables(self._vars(True), 2, 2)
+
+    def test_flag_without_sigma_raises(self):
+        from augmentedautoencoder_tpu.training.tf_interop import (
+            split_reference_variables,
+        )
+
+        with pytest.raises(ValueError, match="q_sigma"):
+            split_reference_variables(self._vars(False), 2, 2, variational=True)
+
+    def test_non_vae_unchanged(self):
+        from augmentedautoencoder_tpu.training.tf_interop import (
+            split_reference_variables,
+        )
+
+        g = split_reference_variables(self._vars(False), 2, 2)
+        assert g["latent_sigma"] is None
+        assert g["decoder_dense"]["kernel"].shape == (8, 1024)

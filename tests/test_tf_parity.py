@@ -27,66 +27,16 @@ STRIDES = [2, 2]
 KERNEL = 5
 
 
-# tf.layers is gone under Keras 3; rebuild the same graph with raw tf.nn ops
-# and tf.layers' VARIABLE NAMES ('conv2d/kernel', 'conv2d_1/...', 'dense/...')
+# tf.layers is gone under Keras 3; _tf_refgraph rebuilds the same graph with
+# raw tf.nn ops and tf.layers' VARIABLE NAMES ('conv2d/kernel', 'dense/...')
 # — which is exactly what reference checkpoints contain.
-_counters = {}
-
-
-def _auto_name(base):
-    i = _counters.get(base, 0)
-    _counters[base] = i + 1
-    return base if i == 0 else f"{base}_{i}"
-
-
-def _conv2d(x, filters, stride, activation):
-    name = _auto_name("conv2d")
-    with tf.variable_scope(name):
-        k = tf.get_variable(
-            "kernel", [KERNEL, KERNEL, int(x.shape[-1]), filters],
-            initializer=tf.glorot_uniform_initializer(),
-        )
-        b = tf.get_variable("bias", [filters], initializer=tf.zeros_initializer())
-    y = tf.nn.conv2d(x, k, strides=[1, stride, stride, 1], padding="SAME") + b
-    return activation(y) if activation is not None else y
-
-
-def _dense(x, units, activation=None):
-    name = _auto_name("dense")
-    with tf.variable_scope(name):
-        k = tf.get_variable(
-            "kernel", [int(x.shape[-1]), units],
-            initializer=tf.glorot_uniform_initializer(),
-        )
-        b = tf.get_variable("bias", [units], initializer=tf.zeros_initializer())
-    y = tf.matmul(x, k) + b
-    return activation(y) if activation is not None else y
+from _tf_refgraph import build_reference_graph as _build_ref_graph
 
 
 def build_reference_graph(x):
     """The reference encoder+decoder graph shape (encoder.py:38-68,
     decoder.py:36-84), small dims."""
-    _counters.clear()
-    net = x
-    for f, s in zip(FILTERS, STRIDES):
-        net = _conv2d(net, f, s, tf.nn.relu)
-    net = tf.reshape(net, [-1, int(np.prod(net.shape[1:]))])
-    z = _dense(net, LATENT)
-
-    rfilters = list(reversed(FILTERS))
-    rstrides = list(reversed(STRIDES))
-    layer_dims = [
-        (int(H / np.prod(rstrides[i:])), int(W / np.prod(rstrides[i:])))
-        for i in range(len(rstrides))
-    ]
-    d = _dense(z, layer_dims[0][0] * layer_dims[0][1] * rfilters[0], tf.nn.relu)
-    d = tf.reshape(d, [-1, layer_dims[0][0], layer_dims[0][1], rfilters[0]])
-    for f, size in zip(rfilters[1:], layer_dims[1:]):
-        d = tf.compat.v1.image.resize_nearest_neighbor(d, size)
-        d = _conv2d(d, f, 1, tf.nn.relu)
-    d = tf.compat.v1.image.resize_nearest_neighbor(d, [H, W])
-    recon = _conv2d(d, 3, 1, tf.nn.sigmoid)
-    return z, recon
+    return _build_ref_graph(x, FILTERS, STRIDES, LATENT, H, W, kernel=KERNEL)
 
 
 @pytest.fixture(scope="module")

@@ -306,9 +306,28 @@ def build_augmenter(spec: S.AugSpec) -> AugFn:
         return lambda rng, imgs: imgs
 
     if isinstance(spec, S.Sequential):
-        if spec.random_order:
-            raise NotImplementedError("random_order=True is not supported")
         children = [build_augmenter(c) for c in spec.children]
+
+        if spec.random_order:
+            # imgaug Sequential(random_order=True): a fresh op order per
+            # batch. Sample a permutation, then run n fixed steps, each a
+            # lax.switch over all children on the permuted op index —
+            # static shapes, jit-safe (not in the reference default chain
+            # but accepted from cfg CODE).
+            n = len(children)
+
+            def seq_random(rng, imgs):
+                kperm, *kops = jax.random.split(rng, n + 1)
+                perm = jax.random.permutation(kperm, n)
+                for j in range(n):
+                    branches = [
+                        (lambda fn: lambda im: fn(kops[j], im))(fn)
+                        for fn in children
+                    ]
+                    imgs = jax.lax.switch(perm[j], branches, imgs)
+                return imgs
+
+            return seq_random
 
         def seq(rng, imgs):
             for fn in children:

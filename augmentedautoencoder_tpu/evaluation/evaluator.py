@@ -268,7 +268,10 @@ class Evaluator:
                 )
                 scores[et]["threshold"] = thresh
 
-        # ---- persist: per-estimate results + scores
+        # ---- persist: sixd17 per-view ymls + per-estimate results + scores
+        from .sixd_writer import write_sixd_results
+
+        write_sixd_results(eval_dir, all_results)
         results_json = [
             {
                 "scene_id": r.scene_id, "im_id": r.im_id, "obj_id": r.obj_id,

@@ -198,3 +198,28 @@ class TestDeviceDataset:
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
         x3, _ = fn(jax.random.PRNGKey(1))
         assert (np.asarray(x3) != np.asarray(x1)).any()
+
+
+class TestRandomOrder:
+    def test_sequential_random_order_applies_all_ops(self):
+        """Sequential(random_order=True): every op applied exactly once per
+        batch, in a batch-random order (imgaug semantics)."""
+        import jax
+
+        from augmentedautoencoder_tpu.data import augment_spec as S
+        from augmentedautoencoder_tpu.data.augment import build_augmenter
+
+        spec = S.Sequential(
+            [S.Add(value=(10, 10)), S.Multiply(mul=(2.0, 2.0))],
+            random_order=True,
+        )
+        fn = jax.jit(build_augmenter(spec))
+        imgs = jnp.full((4, 8, 8, 3), 50.0)
+        seen = set()
+        for seed in range(20):
+            out = np.asarray(fn(jax.random.PRNGKey(seed), imgs))
+            v = float(out[0, 0, 0, 0])
+            # (50+10)*2 = 120 or 50*2+10 = 110 depending on sampled order
+            assert v in (120.0, 110.0)
+            seen.add(v)
+        assert seen == {120.0, 110.0}  # both orders occur across seeds

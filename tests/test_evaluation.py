@@ -264,6 +264,21 @@ class TestEvalPipeline:
         # generous thresholds -> recall 1
         assert out["scores"]["re"]["recall"] == 1.0
 
+        # sixd17 per-view result file written in the reference layout
+        # (eval_dir/<scene:02d>/<im:04d>_<obj:02d>.yml, ae_eval.py:241-243)
+        from augmentedautoencoder_tpu.evaluation.sixd_writer import (
+            load_results_sixd17,
+        )
+
+        yml = tmp_path / "evalout" / "01" / f"{r.im_id:04d}_01.yml"
+        assert yml.exists()
+        parsed = load_results_sixd17(str(yml))
+        assert parsed["run_time"] >= 0
+        assert len(parsed["ests"]) == 1
+        np.testing.assert_allclose(parsed["ests"][0]["R"], r.R_est, atol=1e-7)
+        np.testing.assert_allclose(parsed["ests"][0]["t"], r.t_est, atol=1e-7)
+        assert parsed["ests"][0]["score"] == 0.9
+
     def test_ae_eval_cli_on_synthetic_scene(self, tmp_path, monkeypatch):
         # reuse the e2e workspace recipe: train + embed a tiny experiment
         from tests.test_end_to_end import TINY_CFG

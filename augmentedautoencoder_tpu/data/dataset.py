@@ -172,6 +172,16 @@ class Dataset:
         cfg = self.cfg
         W_r, H_r = cfg.render_dims
         t = np.array([0.0, 0.0, cfg.radius])
+        if hasattr(self.renderer, "render_with_bbox"):
+            bgr_x, depth_x, bb_x = self.renderer.render_with_bbox(
+                0, W_r, H_r, cfg.K.copy(), R, t, cfg.clip_near, cfg.clip_far,
+                random_light=True,
+            )
+            bgr_y, depth_y, bb_y = self.renderer.render_with_bbox(
+                0, W_r, H_r, cfg.K.copy(), R, t, cfg.clip_near, cfg.clip_far,
+                random_light=False,
+            )
+            return bgr_x, depth_x, bgr_y, depth_y, bb_x, bb_y
         bgr_x, depth_x = self.renderer.render(
             0, W_r, H_r, cfg.K.copy(), R, t, cfg.clip_near, cfg.clip_far,
             random_light=True,
@@ -180,7 +190,14 @@ class Dataset:
             0, W_r, H_r, cfg.K.copy(), R, t, cfg.clip_near, cfg.clip_far,
             random_light=False,
         )
-        return bgr_x, depth_x, bgr_y, depth_y
+
+        def bb_of(depth):
+            ys, xs = np.nonzero(depth > 0)
+            if len(xs) == 0:
+                return None
+            return view_sampler.calc_2d_bbox(xs, ys, (W_r, H_r))
+
+        return bgr_x, depth_x, bgr_y, depth_y, bb_of(depth_x), bb_of(depth_y)
 
     def render_training_images(self, progress: bool = True) -> None:
         cfg = self.cfg
@@ -196,15 +213,13 @@ class Dataset:
         def process(i):
             if progress and i % 500 == 0:
                 print(f"rendering training images {i}/{self.noof_training_imgs}")
-            bgr_x, depth_x, bgr_y, depth_y = self._render_pair(Rs[i])
+            bgr_x, depth_x, bgr_y, depth_y, obj_bb, obj_bb_y = self._render_pair(Rs[i])
 
-            ys, xs = np.nonzero(depth_x > 0)
-            if len(xs) == 0:
+            if obj_bb is None:
                 raise RuntimeError(
                     "Object not visible in rendering. Have you scaled the "
                     "vertices to mm (VERTEX_SCALE)?"
                 )
-            obj_bb = view_sampler.calc_2d_bbox(xs, ys, render_dims)
             x, y, w, h = obj_bb
 
             rand_trans_x = np.random.uniform(-cfg.max_rel_offset, cfg.max_rel_offset) * w
@@ -215,8 +230,6 @@ class Dataset:
             crop_dx = extract_square_patch(depth_x, obj_bb_off, cfg.pad_factor, resize=(W, H))
             mask_x = crop_dx == 0.0
 
-            ys, xs = np.nonzero(depth_y > 0)
-            obj_bb_y = view_sampler.calc_2d_bbox(xs, ys, render_dims)
             crop_y = extract_square_patch(bgr_y, obj_bb_y, cfg.pad_factor, resize=(W, H))
 
             if self.shape[2] == 1:
@@ -247,12 +260,18 @@ class Dataset:
         obj_bbs = np.empty((end - start, 4))
 
         def render_one(R):
-            bgr_y, depth_y = self.renderer.render(
-                0, cfg.render_dims[0], cfg.render_dims[1], cfg.K.copy(), R, t,
-                cfg.clip_near, cfg.clip_far, random_light=False,
-            )
-            ys, xs = np.nonzero(depth_y > 0)
-            obj_bb = view_sampler.calc_2d_bbox(xs, ys, cfg.render_dims)
+            if hasattr(self.renderer, "render_with_bbox"):
+                bgr_y, depth_y, obj_bb = self.renderer.render_with_bbox(
+                    0, cfg.render_dims[0], cfg.render_dims[1], cfg.K.copy(),
+                    R, t, cfg.clip_near, cfg.clip_far, random_light=False,
+                )
+            else:
+                bgr_y, depth_y = self.renderer.render(
+                    0, cfg.render_dims[0], cfg.render_dims[1], cfg.K.copy(),
+                    R, t, cfg.clip_near, cfg.clip_far, random_light=False,
+                )
+                ys, xs = np.nonzero(depth_y > 0)
+                obj_bb = view_sampler.calc_2d_bbox(xs, ys, cfg.render_dims)
             crop = extract_square_patch(bgr_y, obj_bb, cfg.pad_factor, resize=self.shape[:2])
             if self.shape[2] == 1:
                 import cv2

@@ -164,6 +164,45 @@ class Renderer:
         light = self._sample_light(random_light, phong)
         return self._render_one(obj_id, W, H, K, R, t, near, far, light)
 
+    def render_with_bbox(
+        self,
+        obj_id: int,
+        W: int,
+        H: int,
+        K: np.ndarray,
+        R: np.ndarray,
+        t: np.ndarray,
+        near: float,
+        far: float,
+        random_light: bool = False,
+        phong: Dict[str, float] = DEFAULT_PHONG,
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[List[float]]]:
+        """(bgr, depth, obj_bb) where obj_bb matches
+        calc_2d_bbox(nonzero(depth)) exactly (None when nothing visible).
+        On the native backend the visible-pixel extent comes straight from
+        the rasterizer — no full-frame nonzero scan."""
+        light = self._sample_light(random_light, phong)
+        W, H = int(W), int(H)
+        if self._native is not None and self._samples <= 1:
+            light_pos, ambient, diffuse, specular = light
+            bgr, depth, px = self._native[obj_id].render(
+                W, H, K, R, t, near, far, light_pos, ambient, diffuse,
+                specular, return_px_bbox=True,
+            )
+            if px is None:
+                return bgr, depth, None
+            # calc_2d_bbox semantics from the extents (view_sampler.py:10-16)
+            tlx = max(int(px[0]) - 1, 0)
+            tly = max(int(px[1]) - 1, 0)
+            brx = min(int(px[2]) + 1, W - 1)
+            bry = min(int(px[3]) + 1, H - 1)
+            return bgr, depth, [tlx, tly, brx - tlx, bry - tly]
+        bgr, depth = self._render_one(obj_id, W, H, K, R, t, near, far, light)
+        ys, xs = np.nonzero(depth > 0)
+        if len(xs) == 0:
+            return bgr, depth, None
+        return bgr, depth, calc_2d_bbox(xs, ys, (W, H))
+
     def render_many(
         self,
         obj_ids: Sequence[int],

@@ -71,6 +71,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_double,  # phong
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),  # out px bbox (nullable)
         ]
         _lib = lib
         return _lib
@@ -119,9 +120,14 @@ class NativeRasterizer:
         ambient: float,
         diffuse: float,
         specular: float,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        return_px_bbox: bool = False,
+    ):
+        """(bgr, depth) or, with return_px_bbox, (bgr, depth, px_bbox) where
+        px_bbox is [min_x, min_y, max_x, max_y] of depth>0 pixels (None when
+        nothing is visible) — avoids a full-frame nonzero scan."""
         bgr = np.zeros((H, W, 3), dtype=np.uint8)
         depth = np.zeros((H, W), dtype=np.float32)
+        px_bbox = np.empty(4, dtype=np.int32)
         K = np.ascontiguousarray(K, dtype=np.float64)
         R = np.ascontiguousarray(R, dtype=np.float64)
         t = np.ascontiguousarray(np.asarray(t).reshape(3), dtype=np.float64)
@@ -132,7 +138,10 @@ class NativeRasterizer:
             float(ambient), float(diffuse), float(specular),
             bgr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            px_bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         if rc != 0:
             raise RuntimeError(f"native render failed (rc={rc})")
+        if return_px_bbox:
+            return bgr, depth, (None if px_bbox[2] < 0 else px_bbox)
         return bgr, depth

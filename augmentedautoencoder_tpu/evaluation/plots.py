@@ -32,6 +32,9 @@ def plot_error_hist(errors: Sequence[float], error_type: str, out_dir: str) -> s
     path = os.path.join(out_dir, f"error_hist_{error_type}.png")
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+    from .tikz import write_hist_tikz
+
+    write_hist_tikz(errors, error_type, out_dir)  # paper-ready .tex twin
     return path
 
 
@@ -53,6 +56,9 @@ def plot_cumulative_error(
     path = os.path.join(out_dir, f"cumulative_{error_type}.png")
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+    from .tikz import write_cumulative_tikz
+
+    write_cumulative_tikz(errors, error_type, out_dir, threshold=threshold)
     return path
 
 

@@ -73,6 +73,52 @@ def make_icosphere(subdivisions: int = 2, radius: float = 60.0, colored: bool = 
     return Mesh(vertices=v, normals=normals, faces=f, colors=colors)
 
 
+def make_textured_asymmetric(
+    subdivisions: int = 5, radius: float = 60.0
+) -> Mesh:
+    """Asymmetric, high-frequency-textured object for quality evaluation —
+    the regime of the paper's real objects (textured, orientation-
+    unambiguous), unlike the near-symmetric bumpy sphere.
+
+    Geometry: icosphere deformed by smooth low-order lobes with no symmetry
+    plane. Texture: per-vertex 3D checker with direction-dependent palette
+    plus a bright marker patch on one octant (kills any residual ambiguity).
+    Fully deterministic.
+    """
+    base = make_icosphere(subdivisions, 1.0, colored=False)
+    d = base.vertices / np.linalg.norm(base.vertices, axis=1, keepdims=True)
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+
+    # smooth asymmetric radial field, strictly positive
+    r = 1.0 + (
+        0.28 * np.sin(2.1 * x + 0.5) * np.cos(1.7 * y - 0.3)
+        + 0.22 * np.sin(3.3 * z + 1.0) * np.cos(1.3 * x + 0.7)
+        + 0.15 * np.sin(2.7 * y + 2.0)
+    )
+    v = d * (radius * r)[:, None]
+    f = base.faces
+
+    # high-contrast 3D checker in object coordinates (~12 mm cells)
+    cell = radius / 5.0
+    checker = (
+        np.floor(v[:, 0] / cell) + np.floor(v[:, 1] / cell) + np.floor(v[:, 2] / cell)
+    ) % 2
+    pal_a = np.stack([40 + 180 * (x * 0.5 + 0.5), 60 + 150 * (y * 0.5 + 0.5),
+                      230 - 170 * (z * 0.5 + 0.5)], axis=1)
+    pal_b = np.stack([230 - 170 * (y * 0.5 + 0.5), 40 + 180 * (z * 0.5 + 0.5),
+                      60 + 150 * (x * 0.5 + 0.5)], axis=1)
+    colors = np.where(checker[:, None] > 0, pal_a, pal_b)
+    marker = (x > 0.55) & (y > 0.35) & (z > 0.2)
+    colors[marker] = [255.0, 255.0, 0.0]
+
+    return Mesh(
+        vertices=v,
+        normals=compute_vertex_normals(v, f),
+        faces=f,
+        colors=np.clip(colors, 0, 255),
+    )
+
+
 def save_ply(mesh: Mesh, path: str) -> None:
     """Write an ascii PLY (round-trip partner for mesh.load_ply)."""
     with open(path, "w") as fh:

@@ -30,6 +30,11 @@ def main() -> None:
     parser.add_argument("--train_imgs", type=int, default=2000)
     parser.add_argument("--eval_crops", type=int, default=200)
     parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument(
+        "--object", default="bumpy", choices=["bumpy", "asym"],
+        help="bumpy: near-symmetric perturbed sphere (round-1 object); "
+        "asym: textured asymmetric object (the paper's accuracy regime)",
+    )
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -77,11 +82,17 @@ def main() -> None:
     )
     cfg.code = safe_eval(template.get("Augmentation", "CODE"), callables=DSL_CONSTRUCTORS)
 
-    # an orientation-unambiguous object: colored cuboid-ish icosphere is
-    # symmetric; perturb vertices deterministically to break symmetry
-    mesh = make_icosphere(3, 60.0)
     rng_np = np.random.RandomState(7)
-    mesh.vertices *= (1.0 + 0.25 * rng_np.rand(len(mesh.vertices), 1))
+    if args.object == "asym":
+        from augmentedautoencoder_tpu.renderer.procedural import (
+            make_textured_asymmetric,
+        )
+
+        mesh = make_textured_asymmetric(subdivisions=5, radius=60.0)
+    else:
+        # round-1 object: near-symmetric bumpy sphere (encoder-limited)
+        mesh = make_icosphere(3, 60.0)
+        mesh.vertices *= (1.0 + 0.25 * rng_np.rand(len(mesh.vertices), 1))
     renderer = Renderer([], backend="auto", meshes=[mesh])
     print(f"renderer backend: {renderer.backend}", flush=True)
 
@@ -149,6 +160,7 @@ def main() -> None:
     errors = np.asarray(errors)
 
     result = {
+        "object": args.object,
         "iters": args.iters,
         "codebook_size": int(dataset.embedding_size),
         "train_minutes": round(train_time / 60, 1),

@@ -127,3 +127,37 @@ class TestReports:
         assert "exp\\_a" in content and "0.9000" in content
         summary = json.load(open(tmp_path / "out" / "comparative_scores.json"))
         assert len(summary) == 2
+
+
+class TestTikzExport:
+    def test_hist_and_cumulative_tex(self, tmp_path):
+        """pgfplots twins for the paper-export use case the reference served
+        via matplotlib2tikz (eval_plots.py:303-431)."""
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation.tikz import (
+            write_cumulative_tikz,
+            write_hist_tikz,
+        )
+
+        errs = np.random.RandomState(0).rand(50) * 30
+        p1 = write_hist_tikz(errs, "re", str(tmp_path))
+        p2 = write_cumulative_tikz(errs, "re", str(tmp_path), threshold=15.0)
+        t1 = open(p1).read()
+        t2 = open(p2).read()
+        assert "\\begin{tikzpicture}" in t1 and "ybar interval" in t1
+        assert "recall" in t2 and "axis cs:15" in t2
+        # balanced environments -> \input-able
+        for t in (t1, t2):
+            assert t.count("\\begin{axis}") == t.count("\\end{axis}") == 1
+
+    def test_plot_functions_emit_tex_twin(self, tmp_path):
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        errs = np.random.RandomState(1).rand(40) * 10
+        plots.plot_error_hist(errs, "te", str(tmp_path))
+        plots.plot_cumulative_error(errs, "te", str(tmp_path), threshold=5.0)
+        assert (tmp_path / "error_hist_te.tex").exists()
+        assert (tmp_path / "cumulative_te.tex").exists()

@@ -1,0 +1,257 @@
+"""Batched multi-object pose serving — the production path.
+
+`AePoseEstimator.process` (pose/estimator.py) runs one batched encode +
+query PER CLASS. This module formalizes the full TPU serving design for the
+multi-object deployment (e.g. 30 T-LESS objects, each with its own trained
+encoder and 92,232-row codebook — reference loads them as separate TF graphs
+in one session, m3_interface/ae_pose_estimator.py:50-78, and loops
+detections one session.run at a time):
+
+  * ALL per-class encoders are stacked into one parameter pytree with a
+    leading object axis and vmapped — every class's crops encode in ONE
+    XLA dispatch (same architecture, different weights; pure MXU batching).
+  * all codebooks live in one HBM slab (O, N_pad, D) with true lengths
+    (ops/multi_codebook.stack_codebooks); the query is a single einsum
+    (O,B,D)x(O,N,D) -> masked argmax fused into the same dispatch.
+  * frames pipeline: `submit()` returns a handle immediately (device work
+    + async host copy in flight), `retrieve()` materializes and finishes
+    the pose math on the host — so frame n+1's dispatch overlaps frame n's
+    readback (the bench.py pattern, PERF.md "tunnel" notes).
+
+Per-class crop batches are padded to a fixed `max_dets_per_class` so the
+jitted step has static shapes (one compile).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .pose.estimator import AePoseEstimator, extract_square_patch_centered
+from .pose.interfaces import BoundingBox, PoseEstimate
+
+
+@dataclasses.dataclass
+class _FrameHandle:
+    vals: object  # device array (O, B)
+    idcs: object  # device array (O, B)
+    by_class: Dict[str, List[int]]
+    box_xywhs: List[Optional[List[float]]]
+    bboxes: Sequence[BoundingBox]
+    camK: np.ndarray
+    camPose: Optional[np.ndarray]
+    mm: bool
+
+
+class PoseServer:
+    """Multi-class 6D pose serving over stacked encoders + codebook slab.
+
+    Requires every configured class to share the network architecture
+    (h/w/c, filters, strides, latent) — the reference's standard multi-
+    object setup. Falls back is the plain AePoseEstimator otherwise.
+    """
+
+    def __init__(self, test_config_path: str, max_dets_per_class: int = 8):
+        import jax
+        import jax.numpy as jnp
+
+        from . import factory
+        from .cli import split_experiment_name
+        from .models import AAE
+        from .ops.multi_codebook import stack_codebooks
+
+        self._est = AePoseEstimator(test_config_path)
+        self.max_dets = int(max_dets_per_class)
+
+        self.classes = sorted(self._est.class_2_encoder)
+        cfgs = [self._est.all_train_cfgs[c] for c in self.classes]
+        arch = {
+            (c.h, c.w, c.c, c.latent_space_size, tuple(c.num_filter), tuple(c.strides))
+            for c in cfgs
+        }
+        if len(arch) != 1:
+            raise ValueError(
+                "PoseServer needs one shared architecture across classes; "
+                f"got {arch}. Use AePoseEstimator for heterogeneous setups."
+            )
+        self.cfg0 = cfgs[0]
+        self._model = AAE.from_config(self.cfg0)
+
+        # stack per-class params (leading object axis) + codebook slab
+        params_list = []
+        codebooks = []
+        self._viewspheres = []
+        self._obj_bbs = []
+        for c in self.classes:
+            experiment_name, experiment_group = split_experiment_name(
+                self._est.class_2_encoder[c]
+            )
+            _, _, _, payload = factory.restore_experiment(
+                experiment_name, experiment_group
+            )
+            params_list.append(payload["params"])
+            cb = self._est.all_codebooks[c]
+            codebooks.append(np.asarray(cb.embedding_normalized))
+            self._viewspheres.append(cb.viewsphere)
+            self._obj_bbs.append(np.asarray(cb.embed_obj_bbs))
+        self._stacked_params = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
+        )
+        slab, lengths = stack_codebooks(codebooks)
+        self._slab = jnp.asarray(slab)
+        self._lengths = jnp.asarray(lengths)
+
+        model = self._model
+
+        @jax.jit
+        def _step(stacked_params, crops, slab, lengths):
+            # crops: (O, B, H, W, C) float in [0,1]
+            def encode_one(p, x):
+                return model.apply({"params": p}, x, method=model.encode)
+
+            z = jax.vmap(encode_one)(stacked_params, crops)  # (O, B, D)
+            zn = z / jnp.maximum(
+                jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12
+            )
+            cos = jnp.einsum("obd,ond->obn", zn, slab)
+            col = jnp.arange(cos.shape[-1], dtype=jnp.int32)
+            cos = jnp.where(
+                col[None, None, :] < lengths[:, None, None], cos, -2.0
+            )
+            idcs = jnp.argmax(cos, axis=-1)
+            vals = jnp.take_along_axis(cos, idcs[..., None], axis=-1)[..., 0]
+            return vals, idcs.astype(jnp.int32)
+
+        self._step = _step
+
+    # ---------------------------------------------------------------- submit
+    def submit(
+        self,
+        bboxes: Sequence[BoundingBox],
+        color_img: np.ndarray,
+        camK: np.ndarray,
+        camPose: Optional[np.ndarray] = None,
+        mm: bool = False,
+    ) -> _FrameHandle:
+        """Crop + dispatch one frame; returns immediately with a handle."""
+        import jax.numpy as jnp
+
+        H, W = color_img.shape[:2]
+        by_class: Dict[str, List[int]] = {}
+        box_xywhs: List[Optional[List[float]]] = []
+        for j, box in enumerate(bboxes):
+            cls = box.best_class
+            if cls not in self._est.class_2_encoder:
+                box_xywhs.append(None)
+                continue
+            xywh = box.to_xywh(W, H)
+            if np.any(np.array(xywh) < 0):
+                box_xywhs.append(None)
+                continue
+            box_xywhs.append(xywh)
+            if len(by_class.setdefault(cls, [])) < self.max_dets:
+                by_class[cls].append(j)
+
+        o = len(self.classes)
+        crops = np.zeros(
+            (o, self.max_dets, self.cfg0.h, self.cfg0.w, self.cfg0.c),
+            np.float32,
+        )
+        for cls, det_idcs in by_class.items():
+            oi = self.classes.index(cls)
+            for k, j in enumerate(det_idcs):
+                crops[oi, k] = (
+                    extract_square_patch_centered(
+                        color_img,
+                        box_xywhs[j],
+                        self._est.pad_factors[cls],
+                        resize=self._est.patch_sizes[cls],
+                        interpolation="linear",
+                        black_borders=True,
+                    )
+                    / 255.0
+                )
+
+        vals, idcs = self._step(
+            self._stacked_params, jnp.asarray(crops), self._slab, self._lengths
+        )
+        for a in (vals, idcs):  # overlap device->host copy with later frames
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return _FrameHandle(
+            vals=vals, idcs=idcs, by_class=by_class, box_xywhs=box_xywhs,
+            bboxes=bboxes, camK=np.asarray(camK, np.float64),
+            camPose=camPose, mm=mm,
+        )
+
+    # --------------------------------------------------------------- retrieve
+    def retrieve(self, h: _FrameHandle) -> List[PoseEstimate]:
+        """Materialize a submitted frame and finish the pose math
+        (codebook.auto_pose6d semantics, reference codebook.py:79-129)."""
+        idcs = np.asarray(h.idcs)
+        results: List[Optional[PoseEstimate]] = [None] * len(h.bboxes)
+        for cls, det_idcs in h.by_class.items():
+            oi = self.classes.index(cls)
+            cfg = self._est.all_train_cfgs[cls]
+            K_train, radius = cfg.K, cfg.radius
+            K_test = h.camK
+            K_diag_ratio = np.sqrt(
+                K_test[0, 0] ** 2 + K_test[1, 1] ** 2
+            ) / np.sqrt(K_train[0, 0] ** 2 + K_train[1, 1] ** 2)
+            for k, j in enumerate(det_idcs):
+                idx = int(idcs[oi, k])
+                R = self._viewspheres[oi][idx].copy()
+                rendered_bb = self._obj_bbs[oi][idx].astype(np.float64)
+                pred_bb = np.asarray(h.box_xywhs[j], np.float64)
+                diag_ratio = np.linalg.norm(
+                    np.float32(rendered_bb[2:])
+                ) / np.linalg.norm(np.float32(pred_bb[2:]))
+                z = diag_ratio * K_diag_ratio * radius
+                cx_tr = rendered_bb[0] + rendered_bb[2] / 2.0 - K_train[0, 2]
+                cy_tr = rendered_bb[1] + rendered_bb[3] / 2.0 - K_train[1, 2]
+                cx_te = pred_bb[0] + pred_bb[2] / 2.0 - K_test[0, 2]
+                cy_te = pred_bb[1] + pred_bb[3] / 2.0 - K_test[1, 2]
+                tx = cx_te * z / K_test[0, 0] - cx_tr * radius / K_train[0, 0]
+                ty = cy_te * z / K_test[1, 1] - cy_tr * radius / K_train[1, 1]
+                t = np.array([tx, ty, z])
+                d_ay = np.arctan(t[0] / np.sqrt(t[2] ** 2 + t[1] ** 2))
+                d_ax = -np.arctan(t[1] / t[2])
+                ca, sa = np.cos(d_ax), np.sin(d_ax)
+                cb_, sb = np.cos(d_ay), np.sin(d_ay)
+                R_cx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+                R_cy = np.array([[cb_, 0, sb], [0, 1, 0], [-sb, 0, cb_]])
+                R = R_cy @ R_cx @ R
+                H_est = np.eye(4)
+                H_est[:3, :3] = R
+                H_est[:3, 3] = t if h.mm else t / 1000.0
+                if h.camPose is not None:
+                    H_est = h.camPose @ H_est
+                results[j] = PoseEstimate(
+                    name=h.bboxes[j].best_class, trafo=H_est
+                )
+        return [r for r in results if r is not None]
+
+    # ------------------------------------------------------------------ sync
+    def process(self, bboxes, color_img, camK, camPose=None, mm=False):
+        """Synchronous single-frame path (AePoseEstimator-compatible)."""
+        return self.retrieve(self.submit(bboxes, color_img, camK, camPose, mm))
+
+    def process_stream(
+        self, frames: Iterable[Dict], depth: int = 2
+    ) -> Iterator[List[PoseEstimate]]:
+        """Pipelined stream: keeps `depth` frames in flight so device compute
+        overlaps host crop-extraction and readback. Each frame is a dict of
+        submit() kwargs."""
+        from collections import deque
+
+        q: deque = deque()
+        for frame in frames:
+            q.append(self.submit(**frame))
+            if len(q) > depth:
+                yield self.retrieve(q.popleft())
+        while q:
+            yield self.retrieve(q.popleft())

@@ -253,6 +253,67 @@ class TestEndToEnd:
         # same crop through the same weights -> identical pose
         np.testing.assert_allclose(poses3[0].trafo, poses3[1].trafo, atol=1e-6)
 
+    def test_pose_server_matches_estimator(self, workspace, monkeypatch, tmp_path):
+        """PoseServer (stacked encoders + codebook slab, one dispatch per
+        frame) must return the same poses as the per-class AePoseEstimator,
+        and its pipelined stream must match the sync path."""
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+        from augmentedautoencoder_tpu.pose import AePoseEstimator, BoundingBox
+        from augmentedautoencoder_tpu.serving import PoseServer
+
+        test_cfg = tmp_path / "m3_srv.cfg"
+        test_cfg.write_text(
+            "[auto_pose]\n"
+            "camPose = False\n"
+            "upright = False\n"
+            "topk = 1\n"
+            "color_format = bgr\n"
+            "color_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj', 'sphere2': 'e2e_obj'}\n"
+        )
+        estimator = AePoseEstimator(str(test_cfg))
+        server = PoseServer(str(test_cfg), max_dets_per_class=4)
+
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        frames = []
+        for view in (2, 5, 9):
+            R = codebook.viewsphere[view]
+            bgr, depth = dataset.renderer.render(
+                0, W, H, cfg.K, R, np.array([0.0, 0.0, cfg.radius]),
+                cfg.clip_near, cfg.clip_far, random_light=False,
+            )
+            ys, xs = np.nonzero(depth > 0)
+            x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+            boxes = [
+                BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                            ymax=(y + h) / H, classes={"sphere": 0.99}),
+                BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                            ymax=(y + h) / H, classes={"sphere2": 0.8}),
+            ]
+            frames.append({"bboxes": boxes, "color_img": bgr, "camK": cfg.K})
+
+        # sync parity vs the estimator
+        for fr in frames:
+            ref = estimator.process(**fr)
+            out = server.process(**fr)
+            assert {p.name for p in out} == {p.name for p in ref}
+            for p_ref, p_out in zip(ref, out):
+                np.testing.assert_allclose(p_out.trafo, p_ref.trafo, atol=1e-4)
+
+        # pipelined stream == sync results, order preserved
+        streamed = list(server.process_stream(iter(frames), depth=2))
+        assert len(streamed) == 3
+        for fr, got in zip(frames, streamed):
+            want = server.process(**fr)
+            for p_w, p_g in zip(want, got):
+                np.testing.assert_allclose(p_g.trafo, p_w.trafo, atol=1e-6)
+
     def test_resume_from_checkpoint(self, workspace, monkeypatch):
         from augmentedautoencoder_tpu.cli import ae_train
 

@@ -16,7 +16,7 @@ arrays live in HBM once (20k x 128x128x3 uint8 x 2 + masks + backgrounds
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,19 @@ from ..config import TrainConfig
 from .augment import build_augmenter
 
 Array = jax.Array
+
+
+class DeviceData(NamedTuple):
+    """The HBM-resident training arrays, shaped as a pytree so they pass
+    through jit as ARGUMENTS (closing over them would bake gigabytes of
+    captured constants into every compiled step executable)."""
+
+    train_x: Array
+    mask_x: Array
+    train_y: Array
+    bg_imgs: Array
+    noof_obj_pixels: Array
+    occlusion_masks: Optional[Array]
 
 #: bounded retries for the occlusion visible-fraction guarantee loops (the
 #: reference retries unboundedly, dataset.py:445-454; acceptance per try is
@@ -138,49 +151,81 @@ class DeviceDataset:
         occlusion_masks: Optional[np.ndarray] = None,
     ):
         self.cfg = cfg
-        self.train_x = jnp.asarray(train_x)
-        self.mask_x = jnp.asarray(mask_x)
-        self.train_y = jnp.asarray(train_y)
-        self.bg_imgs = jnp.asarray(bg_imgs)
         if noof_obj_pixels is None:
             noof_obj_pixels = np.count_nonzero(np.asarray(mask_x) == 0, axis=(1, 2))
-        self.noof_obj_pixels = jnp.asarray(noof_obj_pixels)
-        self.occlusion_masks = (
-            jnp.asarray(occlusion_masks) if occlusion_masks is not None else None
+        self.data = DeviceData(
+            train_x=jnp.asarray(train_x),
+            mask_x=jnp.asarray(mask_x),
+            train_y=jnp.asarray(train_y),
+            bg_imgs=jnp.asarray(bg_imgs),
+            noof_obj_pixels=jnp.asarray(noof_obj_pixels),
+            occlusion_masks=(
+                jnp.asarray(occlusion_masks) if occlusion_masks is not None else None
+            ),
         )
         self._augment = build_augmenter(cfg.code)
 
-    def sample_batch(self, rng: Array, batch_size: int) -> Tuple[Array, Array]:
+    # array attribute views (API compatibility)
+    @property
+    def train_x(self):
+        return self.data.train_x
+
+    @property
+    def mask_x(self):
+        return self.data.mask_x
+
+    @property
+    def train_y(self):
+        return self.data.train_y
+
+    @property
+    def bg_imgs(self):
+        return self.data.bg_imgs
+
+    @property
+    def noof_obj_pixels(self):
+        return self.data.noof_obj_pixels
+
+    @property
+    def occlusion_masks(self):
+        return self.data.occlusion_masks
+
+    def sample_batch(
+        self, rng: Array, batch_size: int, data: Optional[DeviceData] = None
+    ) -> Tuple[Array, Array]:
         """Pure function: rng -> (batch_x, batch_y) float32 in [0,1].
 
         Mirrors reference Dataset.batch (dataset.py:456-495) step for step.
+        Pass `data` explicitly when calling from inside a jitted function so
+        the arrays are traced arguments, not captured constants.
         """
         cfg = self.cfg
+        d = data if data is not None else self.data
         k_idx, k_bg, k_occ, k_rocc, k_aug = jax.random.split(rng, 5)
 
         # without-replacement sampling like the reference (dataset.py:461-465),
         # falling back to with-replacement for pools smaller than the batch
-        n = self.train_x.shape[0]
+        n = d.train_x.shape[0]
         idcs = jax.random.choice(k_idx, n, (batch_size,), replace=n < batch_size)
-        n_bg = self.bg_imgs.shape[0]
+        n_bg = d.bg_imgs.shape[0]
         bg_idcs = jax.random.choice(
             k_bg, n_bg, (batch_size,), replace=n_bg < batch_size
         )
 
-        batch_x = self.train_x[idcs].astype(jnp.float32)
-        batch_y = self.train_y[idcs].astype(jnp.float32)
-        masks = self.mask_x[idcs]
+        batch_x = d.train_x[idcs].astype(jnp.float32)
+        batch_y = d.train_y[idcs].astype(jnp.float32)
+        masks = d.mask_x[idcs]
 
-        if cfg.realistic_occlusion and self.occlusion_masks is not None:
+        if cfg.realistic_occlusion and d.occlusion_masks is not None:
             masks = realistic_occlusion(
-                k_rocc, masks, self.occlusion_masks, max_occl=cfg.realistic_occlusion
+                k_rocc, masks, d.occlusion_masks, max_occl=cfg.realistic_occlusion
             )
         if cfg.square_occlusion:
             masks = square_occlusion(
-                k_occ, masks, self.noof_obj_pixels[idcs], max_occl=cfg.square_occlusion
+                k_occ, masks, d.noof_obj_pixels[idcs], max_occl=cfg.square_occlusion
             )
 
-        bg = self.bg_imgs[bg_idcs].astype(jnp.float32)
+        bg = d.bg_imgs[bg_idcs].astype(jnp.float32)
         batch_x = jnp.where(masks[..., None], bg, batch_x)
 
         batch_x = self._augment(k_aug, batch_x)
@@ -188,5 +233,8 @@ class DeviceDataset:
         return batch_x / 255.0, batch_y / 255.0
 
     def sampler(self, batch_size: int):
-        """A jitted rng -> (x, y) closure."""
-        return jax.jit(partial(self.sample_batch, batch_size=batch_size))
+        """A jitted rng -> (x, y) closure (data passed as jit arguments)."""
+        fn = jax.jit(
+            lambda rng, data: self.sample_batch(rng, batch_size, data=data)
+        )
+        return lambda rng: fn(rng, self.data)

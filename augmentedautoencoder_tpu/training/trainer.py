@@ -38,11 +38,13 @@ def make_train_step(
     use_bn = model.batch_norm
     variational = model.variational > 0
 
-    def step_fn(state: AAETrainState, rng: jax.Array):
+    # the HBM-resident arrays thread through jit as ARGUMENTS — closing over
+    # them would capture gigabytes of constants into the step executable
+    def step_fn(state: AAETrainState, rng: jax.Array, data):
         rng = jax.random.fold_in(rng, state.step)
         rng_batch, rng_model = jax.random.split(rng)
 
-        x, y = dataset.sample_batch(rng_batch, batch_size)
+        x, y = dataset.sample_batch(rng_batch, batch_size, data=data)
         if mesh is not None:
             sh = batch_sharding(mesh)
             x = jax.lax.with_sharding_constraint(x, sh)
@@ -73,11 +75,13 @@ def make_train_step(
 
     if mesh is not None:
         rep = replicated(mesh)
-        return jax.jit(
-            step_fn, in_shardings=(rep, rep), out_shardings=(rep, rep),
+        jitted = jax.jit(
+            step_fn, in_shardings=(rep, rep, rep), out_shardings=(rep, rep),
             donate_argnums=(0,),
         )
-    return jax.jit(step_fn, donate_argnums=(0,))
+    else:
+        jitted = jax.jit(step_fn, donate_argnums=(0,))
+    return lambda state, rng: jitted(state, rng, dataset.data)
 
 
 def make_reconstruction_fn(model: AAE):

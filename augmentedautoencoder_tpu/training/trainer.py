@@ -152,7 +152,8 @@ class Trainer:
                     print(
                         f"[{i + 1}/{num_iter}] "
                         + " ".join(f"{k}={v:.5f}" for k, v in host_losses.items())
-                        + f" ({rate:.1f} it/s)"
+                        + f" ({rate:.1f} it/s)",
+                        flush=True,  # progress must surface through nohup/pipes
                     )
 
             if save_hook and ((i + 1) % save_interval == 0 or i + 1 == num_iter):

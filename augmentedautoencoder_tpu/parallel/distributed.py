@@ -38,3 +38,28 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def host_replicate(tree, mesh):
+    """Replicate a pytree of (identical-per-process) host values onto every
+    device of a possibly multi-process mesh.
+
+    In single-process runs `jax.device_put` suffices, but in a multi-host
+    mesh the target sharding spans non-addressable devices; each process
+    contributes its local shards via `make_array_from_process_local_data`
+    (for a fully-replicated layout, the local data IS the full array). Use
+    this to place the train state, the rng key, and the HBM-resident data
+    arrays before a multi-host `make_train_step(..., mesh=mesh)`.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, tree)

@@ -1,0 +1,285 @@
+"""Production-scale quality run through the REAL CLI surface:
+
+  ae_init_workspace -> ae_train (30k iters) -> ae_embed (92k codebook)
+  -> synthetic BOP test scenes at held-out rotations -> ae_eval
+  (vsd/re/te/add + recall scoring + plots + sixd17 per-view ymls)
+
+on the textured asymmetric object (the paper's accuracy regime). This is
+the round-2 BASELINE.json quality artifact: unlike quality_check.py (which
+drives the library API), every stage here goes through the workspace CLIs
+the reference user would run (reference flow: ae_train.py -> ae_embed.py ->
+eval/ae_eval.py).
+
+Usage: python scripts/quality_eval_vsd.py [--iters 30000] [--views 2562]
+         [--cyclo 36] [--test_imgs 50] [--workspace DIR] [--skip_train]
+         [--out scripts/quality_vsd_asym.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRAIN_CFG = """
+[Paths]
+MODEL_PATH: {model_path}
+BACKGROUND_IMAGES_GLOB: {bg_glob}
+
+[Dataset]
+MODEL: reconst
+H: 128
+W: 128
+C: 3
+RADIUS: 550
+RENDER_DIMS: (360, 270)
+K: [540, 0, 180, 0, 540, 135, 0, 0, 1]
+VERTEX_SCALE: 1
+ANTIALIASING: 1
+PAD_FACTOR: 1.2
+CLIP_NEAR: 10
+CLIP_FAR: 10000
+NOOF_TRAINING_IMGS: {train_imgs}
+NOOF_BG_IMGS: 500
+
+[Augmentation]
+REALISTIC_OCCLUSION: False
+SQUARE_OCCLUSION: False
+MAX_REL_OFFSET: 0.2
+CODE: Sequential([
+    Sometimes(0.5, Add((-25, 25), per_channel=0.3)),
+    Sometimes(0.4, GaussianBlur(np.random.rand())),
+    Sometimes(0.5, Multiply((0.6, 1.4), per_channel=0.5)),
+    Sometimes(0.5, Multiply((0.6, 1.4))),
+    Sometimes(0.5, ContrastNormalization((0.5, 2.2), per_channel=0.3))
+    ], random_order=False)
+
+[Embedding]
+EMBED_BB: True
+MIN_N_VIEWS: {views}
+NUM_CYCLO: {cyclo}
+
+[Network]
+BATCH_NORMALIZATION: False
+AUXILIARY_MASK: False
+VARIATIONAL: 0
+LOSS: L2
+BOOTSTRAP_RATIO: 4
+NORM_REGULARIZE: 0
+LATENT_SPACE_SIZE: 128
+NUM_FILTER: [128, 256, 512, 512]
+STRIDES: [2, 2, 2, 2]
+KERNEL_SIZE_ENCODER: 5
+KERNEL_SIZE_DECODER: 5
+
+[Training]
+OPTIMIZER: Adam
+NUM_ITER: {iters}
+BATCH_SIZE: 64
+LEARNING_RATE: 2e-4
+SAVE_INTERVAL: 10000
+
+[Queue]
+NUM_THREADS: 10
+QUEUE_SIZE: 50
+"""
+
+EVAL_CFG = """
+[METHOD]
+METHOD: aae
+
+[DATA]
+DATASET: asym_synth
+DATASET_PATH: {dataset_path}
+OBJ_ID: 1
+SCENES: [1]
+CAM_TYPE:
+
+[BBOXES]
+ESTIMATE_BBS: False
+SINGLE_INSTANCE: True
+ICP: {icp}
+
+[EVALUATION]
+COMPUTE_ERRORS: True
+EVALUATE_ERRORS: True
+
+[METRIC]
+ERROR_TYPES: ['vsd', 're', 'te', 'add']
+VSD_DELTA: 15
+VSD_TAU: 20
+VSD_COST: step
+ERROR_THRESH: 0.3
+ERROR_THRESH_DEG: 15
+ERROR_THRESH_MM: 100
+TOP_N_EVAL: 1
+TOP_N: 1
+
+[PLOT]
+COMPUTE_PLOTS: True
+"""
+
+W, H = 360, 270
+K = np.array([[540.0, 0, 180], [0, 540.0, 135], [0, 0, 1]])
+RADIUS = 550.0
+
+
+def run_cli(module, argv) -> None:
+    old = sys.argv
+    sys.argv = ["prog"] + argv
+    try:
+        module.main()
+    finally:
+        sys.argv = old
+
+
+def make_scenes(dataset_root: str, model_path: str, n: int, seed: int = 123) -> None:
+    """Render held-out random rotations into a BOP-format scene dir."""
+    import cv2
+
+    from augmentedautoencoder_tpu.geometry import transform
+    from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+    from augmentedautoencoder_tpu.renderer import Renderer
+    from augmentedautoencoder_tpu.renderer.mesh import load_mesh
+
+    mesh = load_mesh(model_path)
+    renderer = Renderer([], backend="auto", meshes=[mesh])
+    scene_dir = os.path.join(dataset_root, "test", "000001")
+    os.makedirs(os.path.join(scene_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(scene_dir, "depth"), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    t = np.array([0.0, 0.0, RADIUS])
+    gt, cam = {}, {}
+    for i in range(n):
+        R = transform.random_rotation_matrix(rng.rand(3))[:3, :3]
+        bgr, depth = renderer.render(0, W, H, K, R, t, 10, 10000, random_light=True)
+        cv2.imwrite(os.path.join(scene_dir, "rgb", f"{i:06d}.png"), bgr)
+        cv2.imwrite(
+            os.path.join(scene_dir, "depth", f"{i:06d}.png"),
+            np.round(depth).astype(np.uint16),
+        )
+        gt[str(i)] = [
+            {"obj_id": 1, "cam_R_m2c": R.ravel().tolist(), "cam_t_m2c": t.tolist()}
+        ]
+        cam[str(i)] = {"cam_K": K.ravel().tolist(), "depth_scale": 1.0}
+    with open(os.path.join(scene_dir, "scene_gt.json"), "w") as fh:
+        json.dump(gt, fh)
+    with open(os.path.join(scene_dir, "scene_camera.json"), "w") as fh:
+        json.dump(cam, fh)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=30000)
+    parser.add_argument("--views", type=int, default=2562)
+    parser.add_argument("--cyclo", type=int, default=36)
+    parser.add_argument("--train_imgs", type=int, default=2000)
+    parser.add_argument("--test_imgs", type=int, default=50)
+    parser.add_argument("--workspace", default="/tmp/aae_vsd_ws")
+    parser.add_argument("--skip_train", action="store_true",
+                        help="reuse an existing trained+embedded workspace")
+    parser.add_argument("--icp", action="store_true")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    from augmentedautoencoder_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import cv2
+
+    from augmentedautoencoder_tpu.cli import ae_embed, ae_eval, ae_init_workspace, ae_train
+    from augmentedautoencoder_tpu.renderer.procedural import (
+        make_textured_asymmetric,
+        save_ply,
+    )
+
+    ws = os.path.abspath(args.workspace)
+    os.environ["AE_WORKSPACE_PATH"] = ws
+    os.makedirs(ws, exist_ok=True)
+    model_path = os.path.join(ws, "asym.ply")
+    bg_dir = os.path.join(ws, "bg")
+
+    timings = {}
+    if not args.skip_train:
+        run_cli(ae_init_workspace, [])
+        save_ply(make_textured_asymmetric(subdivisions=5, radius=60.0), model_path)
+        os.makedirs(bg_dir, exist_ok=True)
+        rng = np.random.RandomState(0)
+        for i in range(500):
+            cv2.imwrite(
+                os.path.join(bg_dir, f"bg_{i:03d}.jpg"),
+                rng.randint(0, 255, (128, 128, 3), np.uint8),
+            )
+        with open(os.path.join(ws, "cfg", "asym_obj.cfg"), "w") as fh:
+            fh.write(
+                TRAIN_CFG.format(
+                    model_path=model_path,
+                    bg_glob=os.path.join(bg_dir, "*.jpg"),
+                    train_imgs=args.train_imgs,
+                    views=args.views,
+                    cyclo=args.cyclo,
+                    iters=args.iters,
+                )
+            )
+        t0 = time.time()
+        run_cli(ae_train, ["asym_obj"])
+        timings["train_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        run_cli(ae_embed, ["asym_obj"])
+        timings["embed_s"] = round(time.time() - t0, 1)
+
+    dataset_root = os.path.join(ws, "bopdata")
+    if not os.path.exists(os.path.join(dataset_root, "test", "000001", "scene_gt.json")):
+        t0 = time.time()
+        make_scenes(dataset_root, model_path, args.test_imgs)
+        timings["scene_render_s"] = round(time.time() - t0, 1)
+
+    eval_name = "vsd_eval_icp" if args.icp else "vsd_eval"
+    with open(os.path.join(ws, "cfg_eval", "eval.cfg"), "w") as fh:
+        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp))
+    t0 = time.time()
+    run_cli(ae_eval, ["asym_obj", eval_name])
+    timings["eval_s"] = round(time.time() - t0, 1)
+
+    eval_dir = os.path.join(
+        ws, "experiments", "asym_obj", "eval", eval_name, "asym_synth"
+    )
+    with open(os.path.join(eval_dir, "scores.json")) as fh:
+        scores = json.load(fh)
+    with open(os.path.join(eval_dir, "results.json")) as fh:
+        results = json.load(fh)
+    re_errs = np.array([r["errors"]["re"] for r in results])
+    te_errs = np.array([r["errors"]["te"] for r in results])
+    vsd_errs = np.array([r["errors"]["vsd"] for r in results])
+
+    summary = {
+        "object": "asym_textured",
+        "pipeline": "ae_train -> ae_embed -> ae_eval (CLI)",
+        "icp": bool(args.icp),
+        "iters": args.iters,
+        "codebook_size": args.views * args.cyclo,
+        "test_imgs": len(results),
+        "vsd_recall@0.3": scores["vsd"]["recall"],
+        "re_recall@15deg": scores["re"]["recall"],
+        "te_recall@100mm": scores["te"]["recall"],
+        "add_recall@0.1d": scores.get("add", {}).get("recall"),
+        "median_re_deg": round(float(np.median(re_errs)), 2),
+        "median_te_mm": round(float(np.median(te_errs)), 2),
+        "median_vsd": round(float(np.median(vsd_errs)), 4),
+        "timings_s": timings,
+    }
+    print(json.dumps(summary, indent=1))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,17 @@ Array = jax.Array
 EncodeFn = Callable[[Array], Array]  # (B,H,W,C) float in [0,1] -> (B, latent)
 
 
+@jax.jit
+def normalize_uint8(x: Array) -> Array:
+    """uint8 image batch -> float32 in [0,1], ON DEVICE.
+
+    The single shared program for this conversion: the codebook embed
+    stream and crop queries both route uint8 through it, so an identical
+    crop yields an identical code regardless of entry path (and the
+    host->HBM transfer stays 4x smaller than shipping float32)."""
+    return x.astype(jnp.float32) / 255.0
+
+
 class Codebook:
     """A per-object codebook bound to an encoder."""
 
@@ -67,21 +78,35 @@ class Codebook:
         progress: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Stream rendered view batches through the encoder; returns
-        (embedding_normalized (N, latent), obj_bbs (N, 4))."""
+        (embedding_normalized (N, latent), obj_bbs (N, 4)).
+
+        uint8 batches pass through unconverted (the encoder normalizes on
+        device — 4x less host->HBM traffic), and the next batch renders on
+        a worker thread while the current one encodes (the CPU rasterizer
+        releases the GIL), so render and device time overlap."""
+        from concurrent.futures import ThreadPoolExecutor
+
         z_chunks = []
         bb_chunks = []
-        for a, e in batch_iteration_indices(embedding_size, batch_size):
-            if progress and a % (batch_size * 16) == 0:
-                print(f"embedding {a}/{embedding_size}")
-            batch, obj_bbs = render_batch_fn(a, e)
-            # pad ragged tail to the jitted batch shape
-            pad = batch_size - (e - a)
-            x = np.asarray(batch, np.float32)
-            if pad:
-                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], np.float32)])
-            z = np.asarray(encode_fn(jnp.asarray(x)))
-            z_chunks.append(z[: e - a])
-            bb_chunks.append(np.asarray(obj_bbs))
+        spans = list(batch_iteration_indices(embedding_size, batch_size))
+        with ThreadPoolExecutor(1) as pool:
+            pending = pool.submit(render_batch_fn, *spans[0])
+            for i, (a, e) in enumerate(spans):
+                if progress and a % (batch_size * 16) == 0:
+                    print(f"embedding {a}/{embedding_size}")
+                batch, obj_bbs = pending.result()
+                if i + 1 < len(spans):
+                    pending = pool.submit(render_batch_fn, *spans[i + 1])
+                x = np.asarray(batch)
+                if x.dtype != np.uint8:
+                    x = x.astype(np.float32)
+                # pad ragged tail to the jitted batch shape
+                pad = batch_size - (e - a)
+                if pad:
+                    x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                z = np.asarray(encode_fn(jnp.asarray(x)))
+                z_chunks.append(z[: e - a])
+                bb_chunks.append(np.asarray(obj_bbs))
         z_all = np.concatenate(z_chunks)
         z_all /= np.linalg.norm(z_all, axis=1, keepdims=True)
         return z_all.astype(np.float32), np.concatenate(bb_chunks)
@@ -95,10 +120,12 @@ class Codebook:
 
     def _prep(self, x: Union[np.ndarray, Array]) -> Array:
         x = np.asarray(x)
-        if x.dtype == np.uint8:
-            x = x / 255.0
         if x.ndim == 3:
             x = x[None]
+        if x.dtype == np.uint8:
+            # same device program as the embed stream -> identical crops
+            # yield identical codes on either path
+            return normalize_uint8(jnp.asarray(x))
         return jnp.asarray(x, jnp.float32)
 
     def nearest_rotation(

@@ -38,6 +38,10 @@ class TrainConfig:
     k: Tuple[float, ...] = (1075.65, 0, 360, 0, 1073.90, 270, 0, 0, 1)
     vertex_scale: float = 1.0
     antialiasing: int = 1
+    # LOD for the offline CPU renderer: decimate meshes above this face
+    # count before rendering (0 = off). New capability — the reference's GL
+    # path has hardware per-face setup and needs no LOD.
+    max_render_faces: int = 0
     pad_factor: float = 1.2
     clip_near: float = 10.0
     clip_far: float = 10000.0
@@ -119,6 +123,14 @@ class TrainConfig:
                 ("k", self.k),
                 ("vertex_scale", self.vertex_scale),
                 ("antialiasing", self.antialiasing),
+            ]
+            + (
+                # only keyed when on, so existing caches stay valid
+                [("max_render_faces", self.max_render_faces)]
+                if self.max_render_faces
+                else []
+            )
+            + [
                 ("pad_factor", self.pad_factor),
                 ("clip_near", self.clip_near),
                 ("clip_far", self.clip_far),
@@ -172,6 +184,9 @@ def load_train_config(path_or_parser) -> TrainConfig:
         cfg.k = tuple(safe_eval(cp.get("Dataset", "K")))
     cfg.vertex_scale = _get(cp, "Dataset", "VERTEX_SCALE", cfg.vertex_scale)
     cfg.antialiasing = _get(cp, "Dataset", "ANTIALIASING", cfg.antialiasing)
+    cfg.max_render_faces = _get(
+        cp, "Dataset", "MAX_RENDER_FACES", cfg.max_render_faces
+    )
     cfg.pad_factor = _get(cp, "Dataset", "PAD_FACTOR", cfg.pad_factor)
     cfg.clip_near = _get(cp, "Dataset", "CLIP_NEAR", cfg.clip_near)
     cfg.clip_far = _get(cp, "Dataset", "CLIP_FAR", cfg.clip_far)

@@ -102,6 +102,7 @@ class Dataset:
                 vertex_tmp_store_folder=self.dataset_path,
                 vertex_scale=self.cfg.vertex_scale,
                 shading="cad" if self.cfg.model == "cad" else "vertex",
+                max_faces=self.cfg.max_render_faces or None,
             )
         return self._renderer
 
@@ -253,10 +254,15 @@ class Dataset:
 
     def render_embedding_image_batch(self, start: int, end: int) -> Tuple[np.ndarray, np.ndarray]:
         """Render + crop embedding views [start, end); returns
-        (batch float in [0,1], obj_bbs int) — reference dataset.py:308-352."""
+        (batch uint8, obj_bbs int) — reference dataset.py:308-352.
+
+        uint8 deliberately: the encoder normalizes on-device
+        (factory.make_encode_fn), so the host->HBM transfer of the 92k-view
+        stream is 4x smaller than float32 — the transfer is the embed
+        bottleneck on tunneled hosts (PERF.md)."""
         cfg = self.cfg
         t = np.array([0.0, 0.0, cfg.radius])
-        batch = np.empty((end - start,) + self.shape)
+        batch = np.empty((end - start,) + self.shape, dtype=np.uint8)
         obj_bbs = np.empty((end - start, 4))
 
         def render_one(R):
@@ -277,7 +283,7 @@ class Dataset:
                 import cv2
 
                 crop = cv2.cvtColor(crop, cv2.COLOR_BGR2GRAY)[:, :, None]
-            return crop / 255.0, obj_bb
+            return crop, obj_bb
 
         views = self.viewsphere_for_embedding[start:end]
         if self.render_workers > 1:

@@ -14,9 +14,12 @@ from functools import partial
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from . import workspace as ws
-from .codebook import Codebook
+import numpy as np
+
+from .codebook import Codebook, normalize_uint8
 from .config import TrainConfig, load_train_config
 from .data.dataset import Dataset
 from .models import AAE
@@ -28,7 +31,10 @@ def build_dataset(dataset_path: str, cfg: TrainConfig, renderer=None) -> Dataset
 
 
 def make_encode_fn(model: AAE, params, batch_stats=None, mesh=None):
-    """Jitted deterministic encoder forward: (B,H,W,C) in [0,1] -> (B, J).
+    """Jitted deterministic encoder forward: (B,H,W,C) -> (B, J).
+
+    Accepts float in [0,1] OR uint8 — uint8 is normalized ON DEVICE, so
+    bulk callers (codebook embed) transfer 4x less over host->HBM.
 
     With a mesh, the batch shards over the data axis (params replicated) —
     used by ae_embed to spread the 92k-view codebook build across chips."""
@@ -36,21 +42,25 @@ def make_encode_fn(model: AAE, params, batch_stats=None, mesh=None):
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
 
+    def forward(x):
+        return model.apply(variables, x, method=model.encode)
+
     if mesh is not None:
         from .parallel import batch_sharding
 
         in_sh = batch_sharding(mesh)
         out_sh = batch_sharding(mesh)
+        jitted = partial(jax.jit, in_shardings=(in_sh,), out_shardings=out_sh)(forward)
+    else:
+        jitted = jax.jit(forward)
 
-        @partial(jax.jit, in_shardings=(in_sh,), out_shardings=out_sh)
-        def encode(x):
-            return model.apply(variables, x, method=model.encode)
-
-        return encode
-
-    @jax.jit
     def encode(x):
-        return model.apply(variables, x, method=model.encode)
+        # uint8 converts on device via the SAME shared program as Codebook
+        # queries (codebook.normalize_uint8), so the float-input encode
+        # executable is identical on both paths -> identical codes
+        if x.dtype == np.uint8:
+            x = normalize_uint8(jnp.asarray(x))
+        return jitted(x)
 
     return encode
 

@@ -53,6 +53,7 @@ class Renderer:
         backend: str = "auto",
         meshes: Optional[Sequence[Mesh]] = None,
         shading: str = "vertex",
+        max_faces: Optional[int] = None,
     ):
         self._samples = int(samples)
         self._shading = shading
@@ -63,6 +64,13 @@ class Renderer:
                 load_mesh(p, vertex_scale=vertex_scale, cache_dir=vertex_tmp_store_folder)
                 for p in models_files
             ]
+        if max_faces:
+            from .mesh import decimate_mesh
+
+            # LOD for the CPU-stage offline renderer: sub-pixel triangles
+            # cost pure per-face setup; clustering to <= max_faces cuts the
+            # render-bound codebook embed proportionally (see PERF.md)
+            self._meshes = [decimate_mesh(m, max_faces) for m in self._meshes]
         if shading == "cad":
             import dataclasses
 

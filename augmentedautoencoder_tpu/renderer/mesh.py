@@ -216,3 +216,91 @@ def load_mesh(
             has_colors=mesh.colors is not None,
         )
     return mesh
+
+
+# ---------------------------------------------------------------- LOD
+
+def decimate_mesh(mesh: Mesh, target_faces: int) -> Mesh:
+    """Uniform-grid vertex-clustering decimation.
+
+    The codebook embed renders 92k views of a mesh whose triangles are
+    mostly SUB-PIXEL at render scale (e.g. a 20k-face object spanning
+    ~120 px -> ~1 px/face), so rasterization cost is pure per-face setup.
+    Clustering vertices on a regular grid and collapsing degenerate faces
+    cuts face count with no visible change at that resolution. The
+    reference has no LOD path (it renders the full mesh through GL, where
+    per-face setup is hardware); this is a TPU-build addition for the
+    CPU-stage offline renderer.
+
+    Deterministic: new vertices are the mean of their cluster (colors
+    averaged the same way, normals recomputed area-weighted). If the mesh
+    already has <= target_faces faces it is returned unchanged.
+    """
+    if len(mesh.faces) <= target_faces:
+        return mesh
+
+    lo = mesh.vertices.min(axis=0)
+    hi = mesh.vertices.max(axis=0)
+    diag = float(np.linalg.norm(hi - lo))
+    if diag == 0.0:
+        return mesh
+
+    # bisect the cluster-cell size: face count decreases monotonically as
+    # cells grow; aim for the largest count <= target
+    cell_lo, cell_hi = diag / 4096.0, diag / 2.0
+    best = None
+    for _ in range(24):
+        cell = (cell_lo * cell_hi) ** 0.5
+        out = _cluster_collapse(mesh, cell)
+        n = len(out.faces)
+        if n > target_faces:
+            cell_lo = cell
+        else:
+            best = out
+            cell_hi = cell
+        if best is not None and 0.7 * target_faces <= len(best.faces) <= target_faces:
+            break
+    return best if best is not None else _cluster_collapse(mesh, cell_hi)
+
+
+def _cluster_collapse(mesh: Mesh, cell: float) -> Mesh:
+    v = mesh.vertices
+    lo = v.min(axis=0)
+    key = np.floor((v - lo) / cell).astype(np.int64)
+    # dense cluster ids (deterministic; exact 3-column unique, no hashing)
+    _, first_idx, inverse = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    n_clusters = len(first_idx)
+
+    # new vertex = cluster mean (same for colors)
+    counts = np.bincount(inverse, minlength=n_clusters).astype(np.float64)
+    new_v = np.zeros((n_clusters, 3))
+    for a in range(3):
+        new_v[:, a] = np.bincount(inverse, weights=v[:, a], minlength=n_clusters)
+    new_v /= counts[:, None]
+    new_c = None
+    if mesh.colors is not None:
+        new_c = np.zeros((n_clusters, 3))
+        for a in range(3):
+            new_c[:, a] = np.bincount(
+                inverse, weights=mesh.colors[:, a], minlength=n_clusters
+            )
+        new_c /= counts[:, None]
+
+    # remap faces; drop degenerate (collapsed) and duplicate ones
+    f = inverse[mesh.faces]
+    keep = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    f = f[keep]
+    # dedupe ignoring rotation (same oriented triangle listed from any vertex)
+    rolled = np.stack([f, f[:, [1, 2, 0]], f[:, [2, 0, 1]]], axis=1)
+    canon = rolled[np.arange(len(f)), rolled[:, :, 0].argmin(axis=1)]
+    _, uniq_idx = np.unique(canon, axis=0, return_index=True)
+    f = f[np.sort(uniq_idx)].astype(np.int32)
+
+    return Mesh(
+        vertices=new_v,
+        normals=compute_vertex_normals(new_v, f),
+        faces=f,
+        colors=new_c,
+    )

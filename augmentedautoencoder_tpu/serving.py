@@ -107,7 +107,10 @@ class PoseServer:
 
         @jax.jit
         def _step(stacked_params, crops, slab, lengths):
-            # crops: (O, B, H, W, C) float in [0,1]
+            # crops: (O, B, H, W, C) uint8 — normalized on device so the
+            # per-frame host->HBM transfer is 4x smaller (tunnel-bound)
+            crops = crops.astype(jnp.float32) / 255.0
+
             def encode_one(p, x):
                 return model.apply({"params": p}, x, method=model.encode)
 
@@ -157,21 +160,18 @@ class PoseServer:
         o = len(self.classes)
         crops = np.zeros(
             (o, self.max_dets, self.cfg0.h, self.cfg0.w, self.cfg0.c),
-            np.float32,
+            np.uint8,
         )
         for cls, det_idcs in by_class.items():
             oi = self.classes.index(cls)
             for k, j in enumerate(det_idcs):
-                crops[oi, k] = (
-                    extract_square_patch_centered(
-                        color_img,
-                        box_xywhs[j],
-                        self._est.pad_factors[cls],
-                        resize=self._est.patch_sizes[cls],
-                        interpolation="linear",
-                        black_borders=True,
-                    )
-                    / 255.0
+                crops[oi, k] = extract_square_patch_centered(
+                    color_img,
+                    box_xywhs[j],
+                    self._est.pad_factors[cls],
+                    resize=self._est.patch_sizes[cls],
+                    interpolation="linear",
+                    black_borders=True,
                 )
 
         vals, idcs = self._step(

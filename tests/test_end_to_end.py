@@ -3,7 +3,7 @@
   ae_init_workspace -> ae_train (render + train) -> ae_embed (codebook)
   -> nearest_rotation self-retrieval on embedding renders.
 
-Uses a procedural icosphere PLY, tiny dims, the numpy rasterizer — fully
+Uses a procedural textured asymmetric PLY, tiny dims, the numpy rasterizer — fully
 hermetic (no GL, no assets, no TPU).
 """
 
@@ -81,13 +81,19 @@ TINY_CFG = textwrap.dedent(
 def workspace(tmp_path_factory):
     import cv2
 
-    from augmentedautoencoder_tpu.renderer.procedural import make_icosphere, save_ply
+    from augmentedautoencoder_tpu.renderer.procedural import (
+        make_textured_asymmetric,
+        save_ply,
+    )
 
     root = tmp_path_factory.mktemp("ws")
     ws_path = str(root / "workspace")
 
     model_path = str(root / "sphere.ply")
-    save_ply(make_icosphere(subdivisions=2, radius=60.0), model_path)
+    # asymmetric textured object: retrieval is well-conditioned (distinct
+    # views have cosine gaps >> float ulp; a sphere's in-plane duplicates
+    # do not, making exact self-retrieval depend on bit-identical paths)
+    save_ply(make_textured_asymmetric(subdivisions=2, radius=60.0), model_path)
 
     bg_dir = root / "bg"
     bg_dir.mkdir()
@@ -145,13 +151,12 @@ class TestEndToEnd:
         assert codebook.embed_obj_bbs.shape == (n, 4)
 
         batch, _ = dataset.render_embedding_image_batch(0, 8)
-        idcs = codebook.nearest_rotation(
-            (batch * 255).astype(np.uint8)[0], return_idcs=True
-        )
+        assert batch.dtype == np.uint8  # on-device normalization contract
+        idcs = codebook.nearest_rotation(batch[0], return_idcs=True)
         assert int(idcs[0]) == 0  # exact self-retrieval of view 0
 
-        Rs = codebook.nearest_rotation_batch(batch.astype(np.float32))
-        recovered = [int(codebook.nearest_rotation(batch[i].astype(np.float32),
+        Rs = codebook.nearest_rotation_batch(batch.astype(np.float32) / 255.0)
+        recovered = [int(codebook.nearest_rotation(batch[i],
                                                    return_idcs=True)[0]) for i in range(8)]
         # the encoder is barely trained; self-retrieval must still be exact
         # because identical inputs produce identical codes. NB indices are
@@ -166,7 +171,7 @@ class TestEndToEnd:
 
         # ---- full 6D on a rendered view through auto_pose6d
         cfg = dataset.cfg
-        x = (batch[3] * 255).astype(np.uint8)
+        x = batch[3]  # uint8 crop
         bb = codebook.embed_obj_bbs[3]
         Rs_est, ts_est = codebook.auto_pose6d(x, bb, cfg.K, 1, cfg)
         np.testing.assert_allclose(ts_est[0, 2], cfg.radius, rtol=1e-5)

@@ -287,11 +287,14 @@ class TestEvalPipeline:
 
         from augmentedautoencoder_tpu.cli import ae_embed, ae_eval, ae_train
         from augmentedautoencoder_tpu.renderer import Renderer
-        from augmentedautoencoder_tpu.renderer.procedural import make_icosphere, save_ply
+        from augmentedautoencoder_tpu.renderer.procedural import (
+            make_textured_asymmetric,
+            save_ply,
+        )
 
         ws_path = str(tmp_path / "workspace")
         model_path = str(tmp_path / "sphere.ply")
-        save_ply(make_icosphere(subdivisions=2, radius=60.0), model_path)
+        save_ply(make_textured_asymmetric(subdivisions=2, radius=60.0), model_path)
         bg_dir = tmp_path / "bg"
         bg_dir.mkdir()
         rng = np.random.RandomState(0)
@@ -316,7 +319,7 @@ class TestEvalPipeline:
         # trained model must still retrieve them (images match embedding
         # renders exactly), so re ~ 0 and vsd ~ 0
         renderer = Renderer([], backend="numpy",
-                            meshes=[make_icosphere(subdivisions=2, radius=60.0)])
+                            meshes=[make_textured_asymmetric(subdivisions=2, radius=60.0)])
         from augmentedautoencoder_tpu.geometry.view_sampler import viewsphere_rotations
 
         views = viewsphere_rotations(12, 4, 300.0)

@@ -64,11 +64,15 @@ def main() -> None:
     if eval_cfg.icp:
         from ..pose.icp import ICP, SynRenderer
 
-        icp_handle = ICP({eval_cfg.obj_id: SynRenderer(renderer)})
+        icp_inner = ICP({eval_cfg.obj_id: SynRenderer(renderer)})
 
         class _Refiner:
+            """Binds the eval object's class_name into the multi-object ICP
+            (the evaluator calls refine() without one)."""
+
             def refine(self, depth, R, t, K, dims, **kw):
-                return icp_handle.refine(depth, R, t, K, dims, class_name=eval_cfg.obj_id, **kw)
+                kw.setdefault("class_name", eval_cfg.obj_id)
+                return icp_inner.refine(depth, R, t, K, dims, **kw)
 
         icp_handle = _Refiner()
 

@@ -171,8 +171,18 @@ class Evaluator:
             if ec.icp and self.icp_handle is not None:
                 t1 = time.time()
                 depth = loader.load_depth(im_id)
+                # square bbox-centered depth crop, un-resized (reference
+                # eval_utils.py:105-118) — icp_refinement re-centers K on
+                # the crop, which is only correct for this crop geometry
+                x, y, w, h = bbs[k]
+                size = int(max(h, w) * self.train_cfg.pad_factor)
+                left = int(max(x + w / 2 - size / 2, 0))
+                right = int(min(x + w / 2 + size / 2, W))
+                top = int(max(y + h / 2 - size / 2, 0))
+                bottom = int(min(y + h / 2 + size / 2, H))
+                depth_crop = depth[top:bottom, left:right]
                 R_est, t_est = self.icp_handle.refine(
-                    depth, R_est, t_est, K_test, (W, H),
+                    depth_crop, R_est, t_est, K_test, (W, H),
                     codebook=self.codebook, det_img=crops[k], det_bb=bbs[k],
                     train_cfg=self.train_cfg,
                 )

@@ -29,6 +29,46 @@ N_SUB = 3000  # reference subsample size (icp_utils.py:14)
 ANGLE_CHANGE_LIMIT = 20.0 * np.pi / 180.0  # icp_utils.py:18
 
 
+def _inv3(M: jax.Array) -> jax.Array:
+    """Closed-form 3x3 inverse (adjugate / det) — exact f32 arithmetic."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A_ = e * i - f * h
+    B_ = -(d * i - f * g)
+    C_ = d * h - e * g
+    det = a * A_ + b * B_ + c * C_
+    adj = jnp.array(
+        [
+            [A_, -(b * i - c * h), b * f - c * e],
+            [B_, a * i - c * g, -(a * f - c * d)],
+            [C_, -(a * h - b * g), a * e - b * d],
+        ]
+    )
+    return adj / det
+
+
+def _kabsch_rotation(H: jax.Array) -> jax.Array:
+    """Rotation maximizing tr(R H) via the polar factor of H.
+
+    H = U S V^T gives the Kabsch answer R = V U^T = (polar_factor(H))^T.
+    Computed by the Newton polar iteration X <- (X + X^-T)/2 — matmuls and
+    3x3 inverses only, because jnp.linalg.svd in f32 ON TPU is too
+    inaccurate for this (measured ~3 deg error on a clean 4 deg rotation;
+    the iteration is exact to f32 roundoff). Quadratic convergence: 16
+    iterations from a Frobenius-normalized start is far past f32 saturation.
+    """
+    X = H / jnp.linalg.norm(H)
+
+    def body(_, X):
+        return 0.5 * (X + _inv3(X).T)
+
+    W = jax.lax.fori_loop(0, 16, body, X)
+    # improper (reflection) case: refuse rather than flip — with dense 3-D
+    # clouds this only occurs on degenerate input, where any answer is noise
+    return jnp.where(jnp.linalg.det(W) > 0.0, W.T, jnp.eye(3))
+
+
 @functools.partial(jax.jit, static_argnames=("depth_only", "no_depth"))
 def best_fit_transform_jax(
     A: jax.Array, B: jax.Array, depth_only: bool = False, no_depth: bool = False
@@ -44,13 +84,8 @@ def best_fit_transform_jax(
     else:
         AA = A - centroid_A
         BB = B - centroid_B
-        H = AA.T @ BB
-        U, S, Vt = jnp.linalg.svd(H)
-        R = Vt.T @ U.T
-        # reflection guard: flip the last right-singular vector if det < 0
-        flip = jnp.where(jnp.linalg.det(R) < 0, -1.0, 1.0)
-        Vt = Vt.at[-1, :].multiply(flip)
-        R = Vt.T @ U.T
+        H = jnp.matmul(AA.T, BB, precision=jax.lax.Precision.HIGHEST)
+        R = _kabsch_rotation(H)
         t = centroid_B - R @ centroid_A
         if no_depth:
             t = t * jnp.array([1.0, 1.0, 0.0])
@@ -67,7 +102,15 @@ def nearest_neighbor_jax(src: jax.Array, dst: jax.Array) -> Tuple[jax.Array, jax
 
     ||s - d||^2 = |s|^2 - 2 s.d + |d|^2 — the cross term is one MXU matmul.
     """
-    cross = src @ dst.T
+    # conditioning: center on the dst centroid (NN is translation-invariant)
+    # so |p| ~ object radius, not camera distance — else f32 resolution of
+    # |p|^2 at ~550 mm (~0.02 mm^2) decides correspondences instead of the
+    # actual point distances. HIGHEST: TPU default matmul precision
+    # multiplies in bf16 passes, far too coarse here (SURVEY.md §7).
+    mu = dst.mean(axis=0)
+    src = src - mu
+    dst = dst - mu
+    cross = jnp.matmul(src, dst.T, precision=jax.lax.Precision.HIGHEST)
     d2 = (src * src).sum(1, keepdims=True) - 2.0 * cross + (dst * dst).sum(1)[None, :]
     idx = jnp.argmin(d2, axis=1)
     dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], 0.0))

@@ -379,3 +379,20 @@ COMPUTE_PLOTS: True
             assert r["errors"]["te"] < 10.0  # mm
         assert os.path.exists(os.path.join(eval_dir, "error_hist_re.png"))
         assert os.path.exists(os.path.join(eval_dir, "recall_by_metric.png"))
+
+        # ---- second run with ICP refinement through the CLI wiring
+        # (regression: the _Refiner closure once shadowed its ICP handle and
+        # recursed; this drives evaluator -> _Refiner -> ICP.refine end-to-end)
+        with open(os.path.join(ws_path, "cfg_eval", "eval.cfg"), "w") as fh:
+            fh.write(eval_cfg_text.replace("ICP: False", "ICP: True"))
+        run(ae_eval, ["evalobj", "synth_eval_icp"])
+        icp_dir = os.path.join(
+            ws_path, "experiments", "evalobj", "eval", "synth_eval_icp", "synth"
+        )
+        with open(os.path.join(icp_dir, "results.json")) as fh:
+            icp_results = json.load(fh)
+        assert len(icp_results) == 3
+        for r in icp_results:
+            # starting from the exact pose, refinement must stay near it
+            assert r["errors"]["re"] < 5.0
+            assert r["errors"]["te"] < 20.0

@@ -64,6 +64,19 @@ class TestBestFit:
         assert abs(t_est[2]) < 1e-6
         np.testing.assert_allclose(t_est[:2], [5.0, 7.0], atol=1e-3)
 
+    def test_small_rotation_at_camera_distance(self):
+        """Guard for the Newton-polar Kabsch: a 4-degree rotation of a cloud
+        sitting at camera working distance (|p| ~ 550 mm) must be recovered
+        to ~0.03 degrees. jnp.linalg.svd in f32 on TPU missed it by ~3
+        degrees — the exact production ICP regime (pose/icp.py)."""
+        rng = np.random.RandomState(0)
+        A = (rng.rand(3000, 3) - 0.5) * 60 + np.array([0, 0, 550.0])
+        R = transform.rotation_matrix(np.deg2rad(4.0), [0.3, 0.5, 0.8])[:3, :3]
+        B = A @ R.T
+        _, R_est, _ = best_fit_transform(A, B)
+        err = np.rad2deg(transform.rotation_error(R, R_est))
+        assert err < 0.05, err
+
 
 class TestICP:
     def test_nearest_neighbor(self):

@@ -245,9 +245,14 @@ def icp_refinement(
     if len(real_pts) < len(synthetic_pts) / 8.0:
         return R_est, t_est  # not enough visible points
 
-    n = int(min(len(real_pts), len(synthetic_pts), N_SUB))
-    sub_real = rng.choice(len(real_pts), n)
-    sub_syn = rng.choice(len(synthetic_pts), n)
+    # The reference draws min(len_real, len_syn, N) samples WITH replacement
+    # (icp_utils.py:269-270, np.random.choice default). Drawing a fixed N_SUB
+    # with replacement is the same sampling process (each point equally
+    # likely) with a constant sample count — statistically equivalent, and it
+    # keeps the jitted ICP at ONE compiled shape per flag combination instead
+    # of recompiling for every distinct visible-point count.
+    sub_real = rng.choice(len(real_pts), N_SUB)
+    sub_syn = rng.choice(len(synthetic_pts), N_SUB)
     T, _, _ = icp(
         synthetic_pts[sub_syn], real_pts[sub_real],
         tolerance=1e-6, depth_only=depth_only, no_depth=no_depth,

@@ -118,6 +118,28 @@ class TestICPRefinement:
         assert abs(t1[2] - 700.0) < abs(t0[2] - 700.0)  # moved toward truth
         np.testing.assert_allclose(R1, R0, atol=1e-6)  # depth_only keeps R
 
+    def test_static_subsample_shape_no_recompile(self):
+        """Varying visible-point counts must NOT grow the jit cache: the
+        refinement always draws N_SUB samples with replacement (the
+        reference's own sampling process, icp_utils.py:269-270), so icp_jax
+        sees one shape per flag combination."""
+        from augmentedautoencoder_tpu.pose import icp as icp_mod
+        from augmentedautoencoder_tpu.renderer import FakeRenderer
+
+        K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]])
+        fake = FakeRenderer(object_radius=60.0)
+        syn = SynRenderer(fake)
+        rng = np.random.RandomState(0)
+        before = icp_mod.icp_jax._cache_size()
+        for z in (640.0, 700.0, 760.0):  # different z => different # visible px
+            _, depth = fake.render(0, 160, 120, K, np.eye(3), np.array([0, 0, z]), 10, 10000)
+            icp_refinement(
+                depth, syn, np.eye(3), np.array([0.0, 0.0, z]), K, (160, 120),
+                depth_only=True, rng=rng,
+            )
+        grown = icp_mod.icp_jax._cache_size() - before
+        assert grown <= 1, f"icp_jax recompiled {grown} times for varying cloud sizes"
+
     def test_rejects_when_object_invisible(self):
         from augmentedautoencoder_tpu.renderer import FakeRenderer
 

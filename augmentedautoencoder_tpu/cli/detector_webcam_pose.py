@@ -46,12 +46,20 @@ def main() -> None:
     parser.add_argument("--camK", default=None,
                         help="9 comma-separated intrinsics; defaults to a "
                              "focal ~ width pinhole")
+    parser.add_argument("--label_map", default=None,
+                        help=".pbtxt label map mapping integer detector class "
+                             "ids to the estimator's class names")
     args = parser.parse_args()
 
     import cv2
 
     detector = load_detector(args.detector)
     estimator = AePoseEstimator(args.test_config)
+    category_index = None
+    if args.label_map:
+        from ..pose.label_map import create_category_index_from_labelmap, remap_box_classes
+
+        category_index = create_category_index_from_labelmap(args.label_map)
 
     stream = WebcamVideoStream(args.src, 720, 540).start()
     det_queue: "queue.Queue" = queue.Queue(maxsize=2)
@@ -64,6 +72,8 @@ def main() -> None:
                 time.sleep(0.01)
                 continue
             boxes = detector.process(frame)
+            if category_index is not None:
+                remap_box_classes(boxes, category_index)
             try:
                 det_queue.put((frame, boxes), timeout=0.5)
             except queue.Full:

@@ -39,6 +39,12 @@
 #define AAE_HAVE_SSE 1
 #endif
 
+// 8-wide double span tests + 16-wide float deferred shading (compiled when
+// the build host has AVX-512; binding.py builds with -march=native).
+#if defined(__AVX512F__) && defined(__AVX512VL__)
+#define AAE_AVX512 1
+#endif
+
 namespace {
 
 // fast reciprocal square root: hardware estimate + one Newton-Raphson step
@@ -321,6 +327,30 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     const int band_y0 = bb_y0 + static_cast<int>(static_cast<int64_t>(rows) * tid / nthreads);
     const int band_y1 = bb_y0 + static_cast<int>(static_cast<int64_t>(rows) * (tid + 1) / nthreads) - 1;
 
+#if defined(AAE_AVX512)
+    // Deferred shading: the span loop interpolates the 12 shading varyings
+    // inline (the three vertex attribute sets are register/L1-hot right
+    // after the coverage test — re-fetching them in a later pass costs more
+    // than the interpolation itself) and appends them to SoA arrays; the
+    // latency-chained part of Phong (three normalizes + dots + byte
+    // conversion) runs afterwards 16-wide across survivors, where vector
+    // ILP breaks the rsqrt dependency chains. Shading survivors in record
+    // order reproduces immediate-mode output exactly (later faces
+    // overwrite, as the scalar path's in-place writes do). Per-thread
+    // buffers: bands are disjoint pixel sets. NB: with ~4 px triangles,
+    // per-face SIMD cannot win — vectorizing ACROSS survivors is what pays.
+    static thread_local std::vector<int32_t> sv_idx;
+    static thread_local std::vector<float> so[12];
+    size_t sv_n = 0;
+    auto sv_reserve = [&](size_t extra) {
+      if (sv_n + extra > sv_idx.size()) {
+        const size_t ns = std::max(sv_n + extra, sv_idx.size() * 2 + 4096);
+        sv_idx.resize(ns);
+        for (int q = 0; q < 12; ++q) so[q].resize(ns);
+      }
+    };
+#endif
+
     for (int oi = 0; oi < m.n_faces; ++oi) {
       const int fi = face_order[oi];
       const int32_t* f = &m.faces[3 * fi];
@@ -354,6 +384,53 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
       const double C1 = (a2.u - a0.u) * inv_area;
       const double A1 = (a2.v * a0.u - a2.u * a0.v) * inv_area;
 
+#if defined(AAE_AVX512)
+      const double gx0 = x_min + 0.5;
+      for (int py = y_min; py <= y_max; ++py) {
+        const double gy = py + 0.5;
+        double w0 = -A0 - B0 * gx0 - C0 * gy;
+        double w1 = -A1 - B1 * gx0 - C1 * gy;
+        const size_t row = static_cast<size_t>(py) * W;
+        sv_reserve(static_cast<size_t>(x_max - x_min) + 1);
+        // row coverage is an interval (each w is a monotone sequence under
+        // the incremental update, so crosses 0 at most once): after the
+        // first covered pixel, the first rejection ends the row.
+        // (An analytic per-row interval-entry variant was measured SLOWER:
+        // the 3 reciprocals/face + branchy bound math cost more than the
+        // ~7x slot overscan it avoids at these ~4 px triangle sizes.)
+        bool entered = false;
+        for (int px = x_min; px <= x_max; ++px, w0 -= B0, w1 -= B1) {
+          const double w2 = 1.0 - w0 - w1;
+          if (w0 < 0.0 || w1 < 0.0 || w2 < 0.0) {
+            if (entered) break;
+            continue;
+          }
+          entered = true;
+          const double iz = w0 * a0.inv_z + w1 * a1.inv_z + w2 * a2.inv_z;
+          const size_t idx = row + px;
+          if (iz <= dbuf[idx] || iz < inv_far || iz > inv_near) continue;
+          dbuf[idx] = iz;
+          const double rec = 1.0 / iz;
+          const float c0 = static_cast<float>(w0 * a0.inv_z * rec);
+          const float c1 = static_cast<float>(w1 * a1.inv_z * rec);
+          const float c2 = static_cast<float>(w2 * a2.inv_z * rec);
+          sv_idx[sv_n] = static_cast<int32_t>(idx);
+          so[0][sv_n] = c0 * a0.n.x + c1 * a1.n.x + c2 * a2.n.x;
+          so[1][sv_n] = c0 * a0.n.y + c1 * a1.n.y + c2 * a2.n.y;
+          so[2][sv_n] = c0 * a0.n.z + c1 * a1.n.z + c2 * a2.n.z;
+          so[3][sv_n] = c0 * a0.l.x + c1 * a1.l.x + c2 * a2.l.x;
+          so[4][sv_n] = c0 * a0.l.y + c1 * a1.l.y + c2 * a2.l.y;
+          so[5][sv_n] = c0 * a0.l.z + c1 * a1.l.z + c2 * a2.l.z;
+          so[6][sv_n] = c0 * a0.view.x + c1 * a1.view.x + c2 * a2.view.x;
+          so[7][sv_n] = c0 * a0.view.y + c1 * a1.view.y + c2 * a2.view.y;
+          so[8][sv_n] = c0 * a0.view.z + c1 * a1.view.z + c2 * a2.view.z;
+          so[9][sv_n] = c0 * a0.color.x + c1 * a1.color.x + c2 * a2.color.x;
+          so[10][sv_n] = c0 * a0.color.y + c1 * a1.color.y + c2 * a2.color.y;
+          so[11][sv_n] = c0 * a0.color.z + c1 * a1.color.z + c2 * a2.color.z;
+          ++sv_n;
+        }
+      }
+#else
       const double gx0 = x_min + 0.5;
       for (int py = y_min; py <= y_max; ++py) {
         const double gy = py + 0.5;
@@ -363,9 +440,16 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
         double w0 = -A0 - B0 * gx0 - C0 * gy;
         double w1 = -A1 - B1 * gx0 - C1 * gy;
         const size_t row = static_cast<size_t>(py) * W;
+        // row coverage is an interval (each w is a monotone sequence under
+        // the incremental update): first rejection after entry ends the row
+        bool entered = false;
         for (int px = x_min; px <= x_max; ++px, w0 -= B0, w1 -= B1) {
           const double w2 = 1.0 - w0 - w1;
-          if (w0 < 0.0 || w1 < 0.0 || w2 < 0.0) continue;
+          if (w0 < 0.0 || w1 < 0.0 || w2 < 0.0) {
+            if (entered) break;
+            continue;
+          }
+          entered = true;
 
           const double iz = w0 * a0.inv_z + w1 * a1.inv_z + w2 * a2.inv_z;
           // depth + near/far tests on inverse z — no division needed:
@@ -390,10 +474,118 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
           out_bgr[3 * idx + 2] = static_cast<uint8_t>(std::lround(rgb.x * 255.0f));
         }
       }
+#endif
     }
+
+#if defined(AAE_AVX512)
+    // ---- deferred shading: 16 survivors per iteration — normalize N/L/V,
+    // Phong, byte conversion (the vector twin of shade_pixel; rsqrt14+Newton
+    // vs the scalar SSE rsqrt+Newton differ far below the 1/255 quantum)
+    {
+      const __m512 fzero = _mm512_setzero_ps();
+      const __m512 fone = _mm512_set1_ps(1.0f);
+      const __m512 fhalf = _mm512_set1_ps(0.5f);
+      const __m512 f3half = _mm512_set1_ps(1.5f);
+      const __m512 f255 = _mm512_set1_ps(255.0f);
+      const __m512 vamb = _mm512_set1_ps(amb);
+      const __m512 vdif = _mm512_set1_ps(dif);
+      const __m512 vspec = _mm512_set1_ps(spec);
+      const __m512 tiny = _mm512_set1_ps(1e-24f);
+      auto vnormalize = [&](__m512& x, __m512& y, __m512& z) {
+        const __m512 n2 = _mm512_fmadd_ps(
+            x, x, _mm512_fmadd_ps(y, y, _mm512_mul_ps(z, z)));
+        __m512 r = _mm512_rsqrt14_ps(n2);
+        r = _mm512_mul_ps(
+            r, _mm512_fnmadd_ps(_mm512_mul_ps(fhalf, n2),
+                                _mm512_mul_ps(r, r), f3half));
+        r = _mm512_maskz_mov_ps(_mm512_cmp_ps_mask(n2, tiny, _CMP_GT_OQ), r);
+        x = _mm512_mul_ps(x, r);
+        y = _mm512_mul_ps(y, r);
+        z = _mm512_mul_ps(z, r);
+      };
+
+      for (size_t i = 0; i < sv_n; i += 16) {
+        const size_t rem = sv_n - i;
+        const __mmask16 k =
+            rem >= 16 ? static_cast<__mmask16>(0xFFFF)
+                      : static_cast<__mmask16>((1u << rem) - 1);
+        __m512 Nx = _mm512_maskz_loadu_ps(k, &so[0][i]);
+        __m512 Ny = _mm512_maskz_loadu_ps(k, &so[1][i]);
+        __m512 Nz = _mm512_maskz_loadu_ps(k, &so[2][i]);
+        __m512 Lx = _mm512_maskz_loadu_ps(k, &so[3][i]);
+        __m512 Ly = _mm512_maskz_loadu_ps(k, &so[4][i]);
+        __m512 Lz = _mm512_maskz_loadu_ps(k, &so[5][i]);
+        __m512 Vx = _mm512_maskz_loadu_ps(k, &so[6][i]);
+        __m512 Vy = _mm512_maskz_loadu_ps(k, &so[7][i]);
+        __m512 Vz = _mm512_maskz_loadu_ps(k, &so[8][i]);
+        const __m512 colr = _mm512_maskz_loadu_ps(k, &so[9][i]);
+        const __m512 colg = _mm512_maskz_loadu_ps(k, &so[10][i]);
+        const __m512 colb = _mm512_maskz_loadu_ps(k, &so[11][i]);
+        vnormalize(Nx, Ny, Nz);
+        vnormalize(Lx, Ly, Lz);
+        vnormalize(Vx, Vy, Vz);
+        const __m512 ndl_raw = _mm512_fmadd_ps(
+            Nx, Lx, _mm512_fmadd_ps(Ny, Ly, _mm512_mul_ps(Nz, Lz)));
+        const __m512 ndl = _mm512_max_ps(ndl_raw, fzero);
+        const __m512 two_ndl = _mm512_add_ps(ndl_raw, ndl_raw);
+        const __m512 Rx = _mm512_fmsub_ps(two_ndl, Nx, Lx);
+        const __m512 Ry = _mm512_fmsub_ps(two_ndl, Ny, Ly);
+        const __m512 Rz = _mm512_fmsub_ps(two_ndl, Nz, Lz);
+        const __m512 rdv = _mm512_max_ps(
+            _mm512_fmadd_ps(Rx, Vx,
+                            _mm512_fmadd_ps(Ry, Vy, _mm512_mul_ps(Rz, Vz))),
+            fzero);
+        const __m512 w = _mm512_fmadd_ps(
+            vspec, rdv, _mm512_fmadd_ps(vdif, ndl, vamb));
+        auto to_byte = [&](__m512 col) {
+          const __m512 c = _mm512_min_ps(
+              _mm512_max_ps(_mm512_mul_ps(w, col), fzero), fone);
+          // lround for non-negatives == floor(x + 0.5): add then truncate
+          return _mm512_cvttps_epi32(_mm512_fmadd_ps(c, f255, fhalf));
+        };
+        alignas(64) int32_t rr[16], gg[16], bbv[16];
+        _mm512_store_si512(reinterpret_cast<__m512i*>(rr), to_byte(colr));
+        _mm512_store_si512(reinterpret_cast<__m512i*>(gg), to_byte(colg));
+        _mm512_store_si512(reinterpret_cast<__m512i*>(bbv), to_byte(colb));
+        const size_t n_lane = rem >= 16 ? 16 : rem;
+        for (size_t j = 0; j < n_lane; ++j) {
+          const size_t idx = static_cast<size_t>(sv_idx[i + j]);
+          out_bgr[3 * idx + 0] = static_cast<uint8_t>(bbv[j]);
+          out_bgr[3 * idx + 1] = static_cast<uint8_t>(gg[j]);
+          out_bgr[3 * idx + 2] = static_cast<uint8_t>(rr[j]);
+        }
+      }
+    }
+#endif
   }
 
   int px_x0 = W, px_x1 = -1, px_y0 = H, px_y1 = -1;
+#if defined(AAE_AVX512)
+  {
+    const __m512d vzero = _mm512_setzero_pd();
+    const __m512d vone = _mm512_set1_pd(1.0);
+    for (int py = bb_y0; py <= bb_y1; ++py) {
+      const size_t row = static_cast<size_t>(py) * W;
+      for (int px = bb_x0; px <= bb_x1; px += 8) {
+        const int rem = bb_x1 - px + 1;
+        const __mmask8 inb =
+            rem >= 8 ? static_cast<__mmask8>(0xFF)
+                     : static_cast<__mmask8>((1u << rem) - 1);
+        const __m512d izb = _mm512_maskz_loadu_pd(inb, &dbuf[row + px]);
+        const __mmask8 vis =
+            inb & _mm512_cmp_pd_mask(izb, vzero, _CMP_GT_OQ);
+        if (!vis) continue;
+        const __m512d z = _mm512_maskz_div_pd(vis, vone, izb);
+        _mm256_mask_storeu_ps(&out_depth[row + px], vis,
+                              _mm512_cvtpd_ps(z));
+        px_x0 = std::min(px_x0, px + __builtin_ctz(vis));
+        px_x1 = std::max(px_x1, px + 31 - __builtin_clz(vis));
+        px_y0 = std::min(px_y0, py);
+        px_y1 = std::max(px_y1, py);
+      }
+    }
+  }
+#else
   for (int py = bb_y0; py <= bb_y1; ++py) {
     const size_t row = static_cast<size_t>(py) * W;
     for (int px = bb_x0; px <= bb_x1; ++px) {
@@ -407,6 +599,7 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
       }
     }
   }
+#endif
   if (out_px_bbox && px_x1 >= 0) {
     out_px_bbox[0] = px_x0;
     out_px_bbox[1] = px_y0;

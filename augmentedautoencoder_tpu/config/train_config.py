@@ -79,7 +79,7 @@ class TrainConfig:
     learning_rate: float = 2e-4
     save_interval: int = 10000
     precision: str = "float32"  # activation compute dtype: float32 | bfloat16
-    topk_mode: str = "exact"  # bootstrapped-loss top-k: exact | approx
+    topk_mode: str = "exact"  # bootstrapped-loss top-k: exact | sort | approx
 
     # [Queue] — host prefetch depth in the TPU build (reference used a
     # tf.FIFOQueue + 10 threads, auto_pose/ae/queue.py:27-74)

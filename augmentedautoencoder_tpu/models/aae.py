@@ -57,7 +57,7 @@ class AAE(nn.Module):
     bootstrap_ratio: int = 4
     norm_regularize: float = 0.0
     precision: str = "float32"  # activation compute dtype: float32 | bfloat16
-    topk_mode: str = "exact"  # bootstrapped-loss selection: exact | approx
+    topk_mode: str = "exact"  # bootstrapped-loss selection: exact | sort | approx
 
     @classmethod
     def from_config(cls, cfg: TrainConfig) -> "AAE":

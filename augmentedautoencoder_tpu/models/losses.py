@@ -10,14 +10,18 @@ Semantics parity with the reference:
   * unit-norm latent regularizer (encoder.py:97-100)
   * diagonal-Gaussian KL to N(0, I) (encoder.py:87-94)
 
-TPU notes: jax.lax.top_k over the flattened 49,152-wide error vector lowers
-to an efficient sort on the VPU; everything stays fused in the train step.
+TPU notes: the top-k selection only needs the k-th largest VALUE to
+threshold on; the default 'exact' mode finds it by bit-level bisection
+(ops/kth_value, bit-identical to lax.top_k's k-th value) instead of paying
+for a 49,152-wide sort. Everything stays fused in the train step.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.kth_value import kth_largest
 
 
 def bootstrapped_reconstruction_loss(
@@ -53,8 +57,12 @@ def bootstrapped_reconstruction_loss(
         # the scatter that top_k's gradient lowers to on TPU (PERF.md).
         if topk_mode == "approx":
             kth = jax.lax.approx_max_k(jax.lax.stop_gradient(err), k)[0][:, -1:]
-        else:
+        elif topk_mode == "sort":
+            # reference formulation (lax.top_k); kept for A/B and tests
             kth = jax.lax.top_k(jax.lax.stop_gradient(err), k)[0][:, -1:]
+        else:  # 'exact': bit-bisection kth value — bit-identical to 'sort',
+            # but streaming compares instead of a 49k-wide sort (ops/kth_value)
+            kth = kth_largest(jax.lax.stop_gradient(err), k)
         mask = (err >= kth).astype(err.dtype)
         return (err * mask).sum() / (err.shape[0] * k)
     return err.mean()

@@ -47,3 +47,44 @@ def test_gradient_flows_only_to_selected():
     selected = np.argsort(-err)[:k]
     nonzero = np.nonzero(np.asarray(g))[0]
     assert set(nonzero) == set(selected)
+
+
+class TestKthLargestBitsearch:
+    """ops/kth_value.kth_largest must be bit-identical to lax.top_k's kth."""
+
+    def _check(self, err, k):
+        from augmentedautoencoder_tpu.ops.kth_value import kth_largest
+
+        got = np.asarray(kth_largest(jnp.asarray(err), k))
+        want = np.asarray(jax.lax.top_k(jnp.asarray(err), k)[0][:, -1:])
+        np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+
+    def test_random(self):
+        rng = np.random.RandomState(0)
+        err = (rng.rand(8, 513) ** 2).astype(np.float32)
+        for k in (1, 2, 128, 512, 513):
+            self._check(err, k)
+
+    def test_ties_and_zeros(self):
+        err = np.zeros((3, 64), np.float32)
+        err[0, :7] = 1.0                      # ties at 1.0 and at 0.0
+        err[1, :] = 0.5                       # all equal
+        err[2, ::2] = np.float32(3.14159)     # duplicated value
+        for k in (1, 7, 16, 64):
+            self._check(err, k)
+
+    def test_denormals_and_extremes(self):
+        err = np.array(
+            [[0.0, np.float32(1e-42), np.float32(1e-38), 1.0, np.float32(3e38), 2.0]],
+            np.float32,
+        )
+        for k in (1, 3, 6):
+            self._check(err, k)
+
+    def test_loss_default_equals_sort_mode(self):
+        rng = np.random.RandomState(2)
+        r = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+        t = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+        a = float(bootstrapped_reconstruction_loss(r, t, 4, topk_mode="exact"))
+        b = float(bootstrapped_reconstruction_loss(r, t, 4, topk_mode="sort"))
+        assert a == b

@@ -139,28 +139,58 @@ class Trainer:
         save_interval = self.cfg.save_interval
         start = int(self.state.step)
 
+        # Deferred metric readback: a synchronous float(loss) every
+        # log_every steps costs a full device->host round trip (~24 ms
+        # through the TPU tunnel — measured 18.4 -> 30.9 ms/step, PERF.md).
+        # Instead the logged losses are stacked into ONE tiny device vector,
+        # its host copy is enqueued asynchronously, and values materialize
+        # 50 logs later when the compute has long finished.
+        import jax.numpy as jnp
+        import numpy as np
+
+        pending: list = []  # (step, names, device vector)
+
+        def flush_pending():
+            last = None
+            for step, names, vec in pending:
+                vals = np.asarray(vec)
+                last = {k: float(v) for k, v in zip(names, vals)}
+                if self.metric_writer:
+                    self.metric_writer.write_scalars(step, last)
+            pending.clear()
+            return last
+
         t0 = time.time()
         for i in range(start, num_iter):
             self.state, losses = self.step_fn(self.state, self.rng)
 
             if (i + 1) % log_every == 0 and (self.metric_writer or progress):
-                host_losses = {k: float(v) for k, v in losses.items()}
-                if self.metric_writer:
-                    self.metric_writer.write_scalars(i + 1, host_losses)
-                if progress and (i + 1) % (log_every * 50) == 0:
-                    rate = (i + 1 - start) / (time.time() - t0)
-                    print(
-                        f"[{i + 1}/{num_iter}] "
-                        + " ".join(f"{k}={v:.5f}" for k, v in host_losses.items())
-                        + f" ({rate:.1f} it/s)",
-                        flush=True,  # progress must surface through nohup/pipes
-                    )
+                names = list(losses.keys())
+                vec = jnp.stack([losses[k] for k in names])
+                try:
+                    vec.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((i + 1, names, vec))
+                if (i + 1) % (log_every * 50) == 0:
+                    host_losses = flush_pending()
+                    if progress:
+                        rate = (i + 1 - start) / (time.time() - t0)
+                        print(
+                            f"[{i + 1}/{num_iter}] "
+                            + " ".join(f"{k}={v:.5f}" for k, v in host_losses.items())
+                            + f" ({rate:.1f} it/s)",
+                            flush=True,  # progress must surface through pipes
+                        )
 
             if save_hook and ((i + 1) % save_interval == 0 or i + 1 == num_iter):
+                flush_pending()
                 save_hook(i + 1, self.state)
 
             if self._stop_requested:
+                flush_pending()
                 if save_hook:
                     save_hook(i + 1, self.state)
                 break
+        flush_pending()
         return self.state

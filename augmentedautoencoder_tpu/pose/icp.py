@@ -127,8 +127,8 @@ def icp_jax(
     tolerance: float = 1e-6,
     depth_only: bool = False,
     no_depth: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """On-device ICP loop; returns (T 4x4, mean_error, iterations)."""
+) -> jax.Array:
+    """On-device ICP loop; returns an 18-vector: [T.ravel(16), err, iters]."""
 
     def cond(carry):
         i, src, prev_err, err, done = carry
@@ -147,7 +147,12 @@ def icp_jax(
     iters, src_final, _, err, _ = jax.lax.while_loop(cond, body, init)
 
     T = best_fit_transform_jax(A, src_final, depth_only=depth_only, no_depth=no_depth)
-    return T, err, iters
+    # pack into ONE result vector: each fetched array costs a full
+    # device->host round trip (~24 ms through the TPU tunnel); serving/eval
+    # fetches this once per refinement stage
+    return jnp.concatenate(
+        [T.reshape(16), err[None], iters.astype(jnp.float32)[None]]
+    )
 
 
 def icp(
@@ -164,12 +169,14 @@ def icp(
     B = np.asarray(B, np.float32)
     if init_pose is not None:
         A = A @ init_pose[:3, :3].T + init_pose[:3, 3]
-    T, err, iters = icp_jax(
-        jnp.asarray(A), jnp.asarray(B),
-        max_iterations=max_iterations, tolerance=tolerance,
-        depth_only=depth_only, no_depth=no_depth,
+    packed = np.asarray(  # single host fetch (T, err, iters packed)
+        icp_jax(
+            jnp.asarray(A), jnp.asarray(B),
+            max_iterations=max_iterations, tolerance=tolerance,
+            depth_only=depth_only, no_depth=no_depth,
+        )
     )
-    return np.asarray(T), float(err), int(iters)
+    return packed[:16].reshape(4, 4), float(packed[16]), int(packed[17])
 
 
 def best_fit_transform(A, B, depth_only=False, no_depth=False):

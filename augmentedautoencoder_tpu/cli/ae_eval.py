@@ -74,6 +74,10 @@ def main() -> None:
                 kw.setdefault("class_name", eval_cfg.obj_id)
                 return icp_inner.refine(depth, R, t, K, dims, **kw)
 
+            def refine_batch(self, depths, Rs, ts, K, dims, **kw):
+                kw.setdefault("class_name", eval_cfg.obj_id)
+                return icp_inner.refine_batch(depths, Rs, ts, K, dims, **kw)
+
         icp_handle = _Refiner()
 
     data_tag = f"{eval_cfg.dataset}_{eval_cfg.cam_type}" if eval_cfg.cam_type else eval_cfg.dataset

@@ -164,13 +164,11 @@ class Evaluator:
         )
         aae_time = time.time() - t0
 
-        results = []
-        for k, gi in enumerate(gt_idcs):
-            R_est, t_est = Rs[k], ts[k]
-            run_time = aae_time / len(gt_idcs)
-            if ec.icp and self.icp_handle is not None:
-                t1 = time.time()
-                depth = loader.load_depth(im_id)
+        if ec.icp and self.icp_handle is not None:
+            t1 = time.time()
+            depth = loader.load_depth(im_id)
+            depth_crops = []
+            for k in range(len(gt_idcs)):
                 # square bbox-centered depth crop, un-resized (reference
                 # eval_utils.py:105-118) — icp_refinement re-centers K on
                 # the crop, which is only correct for this crop geometry
@@ -180,18 +178,32 @@ class Evaluator:
                 right = int(min(x + w / 2 + size / 2, W))
                 top = int(max(y + h / 2 - size / 2, 0))
                 bottom = int(min(y + h / 2 + size / 2, H))
-                depth_crop = depth[top:bottom, left:right]
-                R_est, t_est = self.icp_handle.refine(
-                    depth_crop, R_est, t_est, K_test, (W, H),
-                    codebook=self.codebook, det_img=crops[k], det_bb=bbs[k],
-                    train_cfg=self.train_cfg,
+                depth_crops.append(depth[top:bottom, left:right])
+            # every device stage batches across the frame's estimates —
+            # one dispatch + one fetch per stage, not per estimate
+            if hasattr(self.icp_handle, "refine_batch"):
+                Rs, ts = self.icp_handle.refine_batch(
+                    depth_crops, Rs, ts, K_test, (W, H),
+                    codebook=self.codebook, det_imgs=crops,
+                    det_bbs=np.stack(bbs), train_cfg=self.train_cfg,
                 )
-                run_time += time.time() - t1
+            else:  # custom handle exposing only per-estimate refine()
+                Rs, ts = list(Rs), list(ts)
+                for k in range(len(gt_idcs)):
+                    Rs[k], ts[k] = self.icp_handle.refine(
+                        depth_crops[k], Rs[k], ts[k], K_test, (W, H),
+                        codebook=self.codebook, det_img=crops[k],
+                        det_bb=bbs[k], train_cfg=self.train_cfg,
+                    )
+            aae_time += time.time() - t1
+
+        results = []
+        for k, gi in enumerate(gt_idcs):
             results.append(
                 EvalResult(
                     scene_id=scene_id, im_id=im_id, obj_id=ec.obj_id,
-                    R_est=R_est, t_est=t_est, score=1.0, gt_idx=gi,
-                    run_time=run_time,
+                    R_est=Rs[k], t_est=ts[k], score=1.0, gt_idx=gi,
+                    run_time=aae_time / len(gt_idcs),
                 )
             )
         return results

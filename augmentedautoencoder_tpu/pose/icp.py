@@ -117,16 +117,13 @@ def nearest_neighbor_jax(src: jax.Array, dst: jax.Array) -> Tuple[jax.Array, jax
     return dist, idx
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_iterations", "depth_only", "no_depth")
-)
-def icp_jax(
+def _icp_loop(
     A: jax.Array,
     B: jax.Array,
-    max_iterations: int = 100,
-    tolerance: float = 1e-6,
-    depth_only: bool = False,
-    no_depth: bool = False,
+    max_iterations: int,
+    tolerance: float,
+    depth_only: bool,
+    no_depth: bool,
 ) -> jax.Array:
     """On-device ICP loop; returns an 18-vector: [T.ravel(16), err, iters]."""
 
@@ -155,6 +152,44 @@ def icp_jax(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "depth_only", "no_depth")
+)
+def icp_jax(
+    A: jax.Array,
+    B: jax.Array,
+    max_iterations: int = 100,
+    tolerance: float = 1e-6,
+    depth_only: bool = False,
+    no_depth: bool = False,
+) -> jax.Array:
+    return _icp_loop(A, B, max_iterations, tolerance, depth_only, no_depth)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "depth_only", "no_depth")
+)
+def icp_jax_batch(
+    A: jax.Array,
+    B: jax.Array,
+    max_iterations: int = 100,
+    tolerance: float = 1e-6,
+    depth_only: bool = False,
+    no_depth: bool = False,
+) -> jax.Array:
+    """vmapped ICP over (n, N, 3) cloud stacks -> (n, 18) packed results.
+
+    One dispatch + one fetch refines every estimate of a frame/scene — the
+    batched twin of icp_jax for multi-instance evaluation and serving. The
+    vmapped while_loop runs until all lanes converge (lane-wise `done`
+    freezes finished estimates' carries, so results equal the sequential
+    runs on identical subsamples).
+    """
+    return jax.vmap(
+        lambda a, b: _icp_loop(a, b, max_iterations, tolerance, depth_only, no_depth)
+    )(A, B)
+
+
 def icp(
     A: np.ndarray,
     B: np.ndarray,
@@ -177,6 +212,26 @@ def icp(
         )
     )
     return packed[:16].reshape(4, 4), float(packed[16]), int(packed[17])
+
+
+def icp_batch(
+    As: np.ndarray,
+    Bs: np.ndarray,
+    max_iterations: int = 100,
+    tolerance: float = 1e-6,
+    depth_only: bool = False,
+    no_depth: bool = False,
+):
+    """Batched host-facing ICP: (n,N,3) stacks -> [(T, err, iters)] with ONE
+    dispatch and ONE host fetch for the whole batch."""
+    packed = np.asarray(
+        icp_jax_batch(
+            jnp.asarray(As, jnp.float32), jnp.asarray(Bs, jnp.float32),
+            max_iterations=max_iterations, tolerance=tolerance,
+            depth_only=depth_only, no_depth=no_depth,
+        )
+    )
+    return [(p[:16].reshape(4, 4), float(p[16]), int(p[17])) for p in packed]
 
 
 def best_fit_transform(A, B, depth_only=False, no_depth=False):
@@ -232,12 +287,35 @@ def icp_refinement(
     rng: Optional[np.random.RandomState] = None,
 ):
     """One refinement pass (reference icp_utils.icp_refinement:248-305)."""
+    clouds = _refinement_clouds(
+        depth_crop, icp_renderer, R_est, t_est, K_test, test_render_dims,
+        max_mean_dist_factor=max_mean_dist_factor, obj_id=obj_id, rng=rng,
+    )
+    if clouds is None:
+        return R_est, t_est
+    A_sub, B_sub = clouds
+    T, _, _ = icp(
+        A_sub, B_sub, tolerance=1e-6, depth_only=depth_only, no_depth=no_depth
+    )
+    return _apply_refinement(T, R_est, t_est, no_depth=no_depth)
+
+
+def _refinement_clouds(
+    depth_crop, icp_renderer, R_est, t_est, K_test, test_render_dims,
+    max_mean_dist_factor=2.0, obj_id=0, rng=None,
+):
+    """Host prep of one refinement: render, gate, subsample.
+
+    Returns (A_sub (N_SUB,3) synthetic, B_sub (N_SUB,3) real) or None when
+    the pass is gated out (object invisible / too little real depth).
+    Flag-independent: the same clouds feed depth_only and no_depth stages.
+    """
     rng = rng or np.random
     synthetic_pts = icp_renderer.generate_synthetic_depth(
         K_test, R_est, t_est, test_render_dims, obj_id=obj_id
     )
     if len(synthetic_pts) == 0:
-        return R_est, t_est
+        return None
     centroid_syn = synthetic_pts.mean(axis=0)
     max_mean_dist = np.max(np.linalg.norm(synthetic_pts - centroid_syn, axis=1))
 
@@ -250,7 +328,7 @@ def icp_refinement(
     real_pts = real_pts[dist_to_syn < max_mean_dist_factor * max_mean_dist]
 
     if len(real_pts) < len(synthetic_pts) / 8.0:
-        return R_est, t_est  # not enough visible points
+        return None  # not enough visible points
 
     # The reference draws min(len_real, len_syn, N) samples WITH replacement
     # (icp_utils.py:269-270, np.random.choice default). Drawing a fixed N_SUB
@@ -260,11 +338,12 @@ def icp_refinement(
     # of recompiling for every distinct visible-point count.
     sub_real = rng.choice(len(real_pts), N_SUB)
     sub_syn = rng.choice(len(synthetic_pts), N_SUB)
-    T, _, _ = icp(
-        synthetic_pts[sub_syn], real_pts[sub_real],
-        tolerance=1e-6, depth_only=depth_only, no_depth=no_depth,
-    )
+    return synthetic_pts[sub_syn], real_pts[sub_real]
 
+
+def _apply_refinement(T, R_est, t_est, no_depth=False):
+    """Compose a fitted T onto the estimate, with the reference's 20-degree
+    rotation-change rejection on the no_depth stage."""
     if no_depth and abs(rotation_angle(T[:3, :3])) > ANGLE_CHANGE_LIMIT:
         T = np.eye(4)  # reject implausible rotation jumps
 
@@ -315,3 +394,68 @@ class ICP:
             depth_crop, syn, R1, t1, K_test, test_render_dims, no_depth=True
         )
         return R2, t2
+
+    def refine_batch(
+        self,
+        depth_crops,
+        Rs,
+        ts,
+        K_test,
+        test_render_dims,
+        class_name=None,
+        codebook=None,
+        det_imgs=None,
+        det_bbs=None,
+        train_cfg=None,
+        upright: bool = False,
+        rng=None,
+    ):
+        """Batched 3-stage refinement for every estimate of a frame/scene.
+
+        Same algorithm as per-estimate `refine`, but each device stage is
+        ONE vmapped dispatch + ONE host fetch for all n estimates (vs ~3
+        round trips per estimate sequentially — through the tunnel this is
+        the difference between O(n) and O(1) frame latency). Returns
+        (Rs (n,3,3), ts (n,3)).
+        """
+        syn = self.renderers[class_name] if class_name else next(iter(self.renderers.values()))
+        n = len(Rs)
+        Rs = [np.asarray(R) for R in Rs]
+        ts = [np.asarray(t) for t in ts]
+
+        def batched_stage(Rs_in, ts_in, depth_only, no_depth):
+            preps = [
+                _refinement_clouds(
+                    depth_crops[i], syn, Rs_in[i], ts_in[i], K_test,
+                    test_render_dims, rng=rng,
+                )
+                for i in range(n)
+            ]
+            live = [i for i, p in enumerate(preps) if p is not None]
+            Rs_out, ts_out = list(Rs_in), list(ts_in)
+            if live:
+                As = np.stack([preps[i][0] for i in live])
+                Bs = np.stack([preps[i][1] for i in live])
+                fits = icp_batch(
+                    As, Bs, tolerance=1e-6,
+                    depth_only=depth_only, no_depth=no_depth,
+                )
+                for (T, _, _), i in zip(fits, live):
+                    Rs_out[i], ts_out[i] = _apply_refinement(
+                        T, Rs_in[i], ts_in[i], no_depth=no_depth
+                    )
+            return Rs_out, ts_out
+
+        # stage 1: depth-only alignment
+        R1s, t1s = batched_stage(Rs, ts, depth_only=True, no_depth=False)
+        # stage 2: re-estimate x,y at the corrected depths (one encode batch)
+        if codebook is not None and det_imgs is not None:
+            depth_pred = np.array([t[2] for t in t1s])
+            R2s, t2s, _ = codebook.auto_pose6d_batch(
+                np.stack(det_imgs), np.stack(det_bbs), K_test, train_cfg,
+                depth_pred=depth_pred, upright=upright,
+            )
+            R1s, t1s = list(R2s), list(t2s)
+        # stage 3: rotation-only with angle-change rejection
+        R3s, t3s = batched_stage(R1s, t1s, depth_only=False, no_depth=True)
+        return np.stack(R3s), np.stack(t3s)

@@ -140,6 +140,59 @@ class TestICPRefinement:
         grown = icp_mod.icp_jax._cache_size() - before
         assert grown <= 1, f"icp_jax recompiled {grown} times for varying cloud sizes"
 
+    def test_icp_batch_lanes_match_sequential(self):
+        """icp_jax_batch lane i must equal icp_jax on (A_i, B_i) — in
+        particular the vmapped while_loop must freeze converged lanes while
+        slower lanes keep iterating."""
+        from augmentedautoencoder_tpu.pose.icp import icp, icp_batch
+
+        rng = np.random.RandomState(3)
+        As, Bs, seq = [], [], []
+        for j in range(3):
+            A = random_cloud(500)
+            R = transform.rotation_matrix(0.02 + 0.05 * j, [0, 1, 0])[:3, :3]
+            t = np.array([1.0, -2.0, 3.0]) * (j + 1)
+            B = (A @ R.T + t).astype(np.float32)
+            As.append(A.astype(np.float32))
+            Bs.append(B)
+        for A, B in zip(As, Bs):
+            seq.append(icp(A, B, tolerance=1e-7))
+        got = icp_batch(np.stack(As), np.stack(Bs), tolerance=1e-7)
+        for (T_b, err_b, it_b), (T_s, err_s, it_s) in zip(got, seq):
+            np.testing.assert_array_equal(T_b, T_s)
+            assert err_b == err_s and it_b == it_s
+
+    def test_refine_batch_matches_refine_single(self):
+        """n=1 refine_batch draws the same subsamples as refine when seeded
+        identically, so results must match exactly."""
+        from augmentedautoencoder_tpu.pose.icp import ICP
+        from augmentedautoencoder_tpu.renderer import FakeRenderer
+
+        K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]])
+        fake = FakeRenderer(object_radius=60.0)
+        handle = ICP({"obj": SynRenderer(fake)})
+        _, depth_gt = fake.render(0, 160, 120, K, np.eye(3), np.array([0, 0, 700.0]), 10, 10000)
+        R0, t0 = np.eye(3), np.array([0.0, 0.0, 640.0])
+
+        # refine() without codebook == two icp_refinement stages
+        import augmentedautoencoder_tpu.pose.icp as icp_mod
+
+        rng_a = np.random.RandomState(7)
+        R_a, t_a = icp_mod.icp_refinement(
+            depth_gt, handle.renderers["obj"], R0, t0, K, (160, 120),
+            depth_only=True, rng=rng_a,
+        )
+        R_a, t_a = icp_mod.icp_refinement(
+            depth_gt, handle.renderers["obj"], R_a, t_a, K, (160, 120),
+            no_depth=True, rng=rng_a,
+        )
+        rng_b = np.random.RandomState(7)
+        Rs_b, ts_b = handle.refine_batch(
+            [depth_gt], [R0], [t0], K, (160, 120), rng=rng_b,
+        )
+        np.testing.assert_allclose(Rs_b[0], R_a, atol=1e-6)
+        np.testing.assert_allclose(ts_b[0], t_a, atol=1e-4)
+
     def test_rejects_when_object_invisible(self):
         from augmentedautoencoder_tpu.renderer import FakeRenderer
 

@@ -74,8 +74,17 @@ class AePoseEstimator(PoseEstInterface):
         self._topk = test_args.getint("auto_pose", "topk")
         if self._topk > 1:
             raise NotImplementedError("topk > 1 not implemented")
+        # depth-based 3-stage ICP refinement (new capability: the reference's
+        # m3 estimator only carries it as commented-out code,
+        # ae_pose_estimator.py:185-202). Enabled by `use_icp: True` in
+        # [auto_pose]; applies when process() receives depth_img (same units
+        # as the training meshes, i.e. mm).
+        self._use_icp = test_args.getboolean("auto_pose", "use_icp", fallback=False)
+        self._icp = None
 
         self._process_requirements = ["color_img", "camK", "bboxes"]
+        if self._use_icp:
+            self._process_requirements.append("depth_img")
         if self._camPose:
             self._process_requirements.append("camPose")
 
@@ -106,6 +115,22 @@ class AePoseEstimator(PoseEstInterface):
             self.all_codebooks[class_name] = factory.build_codebook_from_name(
                 experiment_name, experiment_group
             )
+
+    def _icp_handle(self):
+        """Lazy per-class ICP (renders the class mesh for synthetic depth)."""
+        if self._icp is None:
+            from ..renderer import Renderer
+            from ..renderer.mesh import load_mesh
+            from .icp import ICP, SynRenderer
+
+            renderers = {}
+            for class_name, cfg in self.all_train_cfgs.items():
+                mesh = load_mesh(cfg.model_path, vertex_scale=cfg.vertex_scale)
+                renderers[class_name] = SynRenderer(
+                    Renderer([], backend="auto", meshes=[mesh])
+                )
+            self._icp = ICP(renderers)
+        return self._icp
 
     # ------------------------------------------------------------- contract
     def set_parameter(self, string_name: str, string_val: str) -> None:
@@ -167,6 +192,24 @@ class AePoseEstimator(PoseEstInterface):
             Rs, ts, _ = self.all_codebooks[class_name].auto_pose6d_batch(
                 crops, bbs, camK, cfg, upright=self._upright
             )
+            if self._use_icp and depth_img is not None:
+                # square bbox-centered un-resized depth crops (the geometry
+                # icp_refinement's K re-centering assumes)
+                depth_crops = []
+                for j in det_idcs:
+                    x, y, w, h = (int(v) for v in box_xywhs[j])
+                    size = int(max(h, w) * self.pad_factors[class_name])
+                    left = max(int(x + w / 2 - size / 2), 0)
+                    right = min(int(x + w / 2 + size / 2), W)
+                    top = max(int(y + h / 2 - size / 2), 0)
+                    bottom = min(int(y + h / 2 + size / 2), H)
+                    depth_crops.append(depth_img[top:bottom, left:right])
+                Rs, ts = self._icp_handle().refine_batch(
+                    depth_crops, Rs, ts, camK, (W, H), class_name=class_name,
+                    codebook=self.all_codebooks[class_name],
+                    det_imgs=[crops[k] for k in range(len(det_idcs))],
+                    det_bbs=bbs, train_cfg=cfg, upright=self._upright,
+                )
             for k, j in enumerate(det_idcs):
                 H_est = np.eye(4)
                 H_est[:3, :3] = Rs[k]

@@ -258,6 +258,32 @@ class TestEndToEnd:
         # same crop through the same weights -> identical pose
         np.testing.assert_allclose(poses3[0].trafo, poses3[1].trafo, atol=1e-6)
 
+        # depth-based ICP refinement through the m3 API (use_icp; the
+        # reference's estimator only carries this as commented-out code)
+        test_cfg3 = tmp_path / "m3_icp.cfg"
+        test_cfg3.write_text(
+            "[auto_pose]\n"
+            "camPose = False\n"
+            "upright = False\n"
+            "topk = 1\n"
+            "use_icp = True\n"
+            "color_format = bgr\n"
+            "color_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj'}\n"
+        )
+        est3 = AePoseEstimator(str(test_cfg3))
+        assert "depth_img" in est3.query_process_requirements()
+        poses_icp = est3.process(
+            bboxes=[box], color_img=bgr, depth_img=depth, camK=cfg.K
+        )
+        assert len(poses_icp) == 1
+        t_icp = poses_icp[0].trafo[:3, 3]
+        # depth stage must keep (usually improve) the z estimate
+        assert abs(t_icp[2] - cfg.radius / 1000.0) <= abs(t_m[2] - cfg.radius / 1000.0) + 0.01
+        R_icp = poses_icp[0].trafo[:3, :3]
+        np.testing.assert_allclose(R_icp @ R_icp.T, np.eye(3), atol=1e-5)
+
     def test_pose_server_matches_estimator(self, workspace, monkeypatch, tmp_path):
         """PoseServer (stacked encoders + codebook slab, one dispatch per
         frame) must return the same poses as the per-class AePoseEstimator,

@@ -43,6 +43,8 @@ class _FrameHandle:
     camK: np.ndarray
     camPose: Optional[np.ndarray]
     mm: bool
+    depth_img: Optional[np.ndarray] = None
+    host_crops: Optional[np.ndarray] = None  # (O, B, h, w, c) for ICP stage 2
 
 
 class PoseServer:
@@ -137,6 +139,7 @@ class PoseServer:
         camK: np.ndarray,
         camPose: Optional[np.ndarray] = None,
         mm: bool = False,
+        depth_img: Optional[np.ndarray] = None,
     ) -> _FrameHandle:
         """Crop + dispatch one frame; returns immediately with a handle."""
         import jax.numpy as jnp
@@ -182,10 +185,13 @@ class PoseServer:
                 a.copy_to_host_async()
             except Exception:
                 pass
+        want_icp = depth_img is not None and self._est._use_icp
         return _FrameHandle(
             vals=vals, idcs=idcs, by_class=by_class, box_xywhs=box_xywhs,
             bboxes=bboxes, camK=np.asarray(camK, np.float64),
             camPose=camPose, mm=mm,
+            depth_img=depth_img if want_icp else None,
+            host_crops=crops if want_icp else None,
         )
 
     # --------------------------------------------------------------- retrieve
@@ -202,6 +208,7 @@ class PoseServer:
             K_diag_ratio = np.sqrt(
                 K_test[0, 0] ** 2 + K_test[1, 1] ** 2
             ) / np.sqrt(K_train[0, 0] ** 2 + K_train[1, 1] ** 2)
+            Rs_cls, ts_cls = [], []
             for k, j in enumerate(det_idcs):
                 idx = int(idcs[oi, k])
                 R = self._viewspheres[oi][idx].copy()
@@ -224,10 +231,36 @@ class PoseServer:
                 cb_, sb = np.cos(d_ay), np.sin(d_ay)
                 R_cx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
                 R_cy = np.array([[cb_, 0, sb], [0, 1, 0], [-sb, 0, cb_]])
-                R = R_cy @ R_cx @ R
+                Rs_cls.append(R_cy @ R_cx @ R)
+                ts_cls.append(t)
+
+            if h.depth_img is not None and Rs_cls:
+                # batched 3-stage depth refinement (poses still in mm here)
+                depth_crops = []
+                for j in det_idcs:
+                    x, y, w, bh = (int(v) for v in h.box_xywhs[j])
+                    size = int(max(bh, w) * self._est.pad_factors[cls])
+                    Hd, Wd = h.depth_img.shape[:2]
+                    left = max(int(x + w / 2 - size / 2), 0)
+                    right = min(int(x + w / 2 + size / 2), Wd)
+                    top = max(int(y + bh / 2 - size / 2), 0)
+                    bottom = min(int(y + bh / 2 + size / 2), Hd)
+                    depth_crops.append(h.depth_img[top:bottom, left:right])
+                Rs_cls, ts_cls = self._est._icp_handle().refine_batch(
+                    depth_crops, Rs_cls, ts_cls, K_test,
+                    h.depth_img.shape[:2][::-1], class_name=cls,
+                    codebook=self._est.all_codebooks[cls],
+                    det_imgs=[h.host_crops[oi, k] for k in range(len(det_idcs))],
+                    det_bbs=np.stack(
+                        [h.box_xywhs[j] for j in det_idcs]
+                    ).astype(np.float64),
+                    train_cfg=cfg,
+                )
+
+            for k, j in enumerate(det_idcs):
                 H_est = np.eye(4)
-                H_est[:3, :3] = R
-                H_est[:3, 3] = t if h.mm else t / 1000.0
+                H_est[:3, :3] = Rs_cls[k]
+                H_est[:3, 3] = ts_cls[k] if h.mm else np.asarray(ts_cls[k]) / 1000.0
                 if h.camPose is not None:
                     H_est = h.camPose @ H_est
                 results[j] = PoseEstimate(
@@ -236,9 +269,12 @@ class PoseServer:
         return [r for r in results if r is not None]
 
     # ------------------------------------------------------------------ sync
-    def process(self, bboxes, color_img, camK, camPose=None, mm=False):
+    def process(self, bboxes, color_img, camK, camPose=None, mm=False,
+                depth_img=None):
         """Synchronous single-frame path (AePoseEstimator-compatible)."""
-        return self.retrieve(self.submit(bboxes, color_img, camK, camPose, mm))
+        return self.retrieve(
+            self.submit(bboxes, color_img, camK, camPose, mm, depth_img)
+        )
 
     def process_stream(
         self, frames: Iterable[Dict], depth: int = 2

@@ -345,6 +345,29 @@ class TestEndToEnd:
             for p_w, p_g in zip(want, got):
                 np.testing.assert_allclose(p_g.trafo, p_w.trafo, atol=1e-6)
 
+        # depth-enabled serving: with use_icp the server refines with the
+        # frame's depth image (poses stay valid, z stays near truth)
+        icp_cfg = tmp_path / "m3_srv_icp.cfg"
+        icp_cfg.write_text(test_cfg.read_text().replace(
+            "topk = 1\n", "topk = 1\nuse_icp = True\n"
+        ))
+        srv_icp = PoseServer(str(icp_cfg), max_dets_per_class=4)
+        R = codebook.viewsphere[5]
+        bgr, depth = dataset.renderer.render(
+            0, W, H, cfg.K, R, np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+        box = BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                          ymax=(y + h) / H, classes={"sphere": 0.99})
+        out = srv_icp.process([box], bgr, cfg.K, depth_img=depth)
+        assert len(out) == 1
+        t_m = out[0].trafo[:3, 3]
+        assert abs(t_m[2] - cfg.radius / 1000.0) < 0.05
+        R_est = out[0].trafo[:3, :3]
+        np.testing.assert_allclose(R_est @ R_est.T, np.eye(3), atol=1e-5)
+
     def test_resume_from_checkpoint(self, workspace, monkeypatch):
         from augmentedautoencoder_tpu.cli import ae_train
 

@@ -84,6 +84,7 @@ NUM_ITER: {iters}
 BATCH_SIZE: 64
 LEARNING_RATE: 2e-4
 SAVE_INTERVAL: 10000
+PRECISION: {precision}
 
 [Queue]
 NUM_THREADS: 10
@@ -185,6 +186,8 @@ def main() -> None:
     parser.add_argument("--skip_train", action="store_true",
                         help="reuse an existing trained+embedded workspace")
     parser.add_argument("--icp", action="store_true")
+    parser.add_argument("--precision", default="float32",
+                        choices=["float32", "bfloat16"])
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -225,7 +228,7 @@ def main() -> None:
                     train_imgs=args.train_imgs,
                     views=args.views,
                     cyclo=args.cyclo,
-                    iters=args.iters,
+                    iters=args.iters, precision=args.precision,
                 )
             )
         t0 = time.time()
@@ -263,6 +266,7 @@ def main() -> None:
         "object": "asym_textured",
         "pipeline": "ae_train -> ae_embed -> ae_eval (CLI)",
         "icp": bool(args.icp),
+        "precision": args.precision,
         "iters": args.iters,
         "codebook_size": args.views * args.cyclo,
         "test_imgs": len(results),

@@ -254,7 +254,7 @@ class PoseServer:
                     det_bbs=np.stack(
                         [h.box_xywhs[j] for j in det_idcs]
                     ).astype(np.float64),
-                    train_cfg=cfg,
+                    train_cfg=cfg, upright=self._est._upright,
                 )
 
             for k, j in enumerate(det_idcs):

@@ -193,6 +193,26 @@ class TestICPRefinement:
         np.testing.assert_allclose(Rs_b[0], R_a, atol=1e-6)
         np.testing.assert_allclose(ts_b[0], t_a, atol=1e-4)
 
+    def test_refine_batch_passthrough_when_gated(self):
+        """Estimates whose depth crop is empty must pass through unchanged
+        while live estimates in the same batch still refine."""
+        from augmentedautoencoder_tpu.pose.icp import ICP
+        from augmentedautoencoder_tpu.renderer import FakeRenderer
+
+        K = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]])
+        fake = FakeRenderer(object_radius=60.0)
+        handle = ICP({"obj": SynRenderer(fake)})
+        _, depth_gt = fake.render(0, 160, 120, K, np.eye(3), np.array([0, 0, 700.0]), 10, 10000)
+        empty = np.zeros((120, 160), np.float32)
+        R0, t0 = np.eye(3), np.array([0.0, 0.0, 640.0])
+        Rs, ts = handle.refine_batch(
+            [empty, depth_gt], [R0, R0], [t0, t0], K, (160, 120),
+            rng=np.random.RandomState(1),
+        )
+        np.testing.assert_array_equal(Rs[0], R0)   # gated: unchanged
+        np.testing.assert_array_equal(ts[0], t0)
+        assert abs(ts[1][2] - 700.0) < abs(t0[2] - 700.0)  # live: refined
+
     def test_rejects_when_object_invisible(self):
         from augmentedautoencoder_tpu.renderer import FakeRenderer
 

@@ -104,7 +104,7 @@ CAM_TYPE:
 
 [BBOXES]
 ESTIMATE_BBS: False
-SINGLE_INSTANCE: True
+SINGLE_INSTANCE: {single_instance}
 ICP: {icp}
 
 [EVALUATION]
@@ -119,7 +119,7 @@ VSD_COST: step
 ERROR_THRESH: 0.3
 ERROR_THRESH_DEG: 15
 ERROR_THRESH_MM: 100
-TOP_N_EVAL: 1
+TOP_N_EVAL: {top_n_eval}
 TOP_N: 1
 
 [PLOT]
@@ -140,8 +140,14 @@ def run_cli(module, argv) -> None:
         sys.argv = old
 
 
-def make_scenes(dataset_root: str, model_path: str, n: int, seed: int = 123) -> None:
-    """Render held-out random rotations into a BOP-format scene dir."""
+def make_scenes(
+    dataset_root: str, model_path: str, n: int, seed: int = 123, instances: int = 1
+) -> None:
+    """Render held-out random rotations into a BOP-format scene dir.
+
+    instances > 1 places several copies at lateral offsets and composites
+    them by z-buffer — the multi-instance regime the batched ICP/estimator
+    path is built for."""
     import cv2
 
     from augmentedautoencoder_tpu.geometry import transform
@@ -155,19 +161,33 @@ def make_scenes(dataset_root: str, model_path: str, n: int, seed: int = 123) -> 
     os.makedirs(os.path.join(scene_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(scene_dir, "depth"), exist_ok=True)
     rng = np.random.RandomState(seed)
-    t = np.array([0.0, 0.0, RADIUS])
+    # lateral placements that keep every instance fully in frame
+    offsets = np.linspace(-115.0, 115.0, instances) if instances > 1 else [0.0]
     gt, cam = {}, {}
     for i in range(n):
-        R = transform.random_rotation_matrix(rng.rand(3))[:3, :3]
-        bgr, depth = renderer.render(0, W, H, K, R, t, 10, 10000, random_light=True)
+        bgr = np.zeros((H, W, 3), np.uint8)
+        depth = np.zeros((H, W), np.float32)
+        entries = []
+        for m, tx in enumerate(offsets):
+            R = transform.random_rotation_matrix(rng.rand(3))[:3, :3]
+            ty = float(rng.uniform(-25.0, 25.0)) if instances > 1 else 0.0
+            t = np.array([float(tx), ty, RADIUS])
+            bgr_m, depth_m = renderer.render(
+                0, W, H, K, R, t, 10, 10000, random_light=True
+            )
+            # z-buffer composite
+            vis = (depth_m > 0) & ((depth == 0) | (depth_m < depth))
+            bgr[vis] = bgr_m[vis]
+            depth[vis] = depth_m[vis]
+            entries.append(
+                {"obj_id": 1, "cam_R_m2c": R.ravel().tolist(), "cam_t_m2c": t.tolist()}
+            )
         cv2.imwrite(os.path.join(scene_dir, "rgb", f"{i:06d}.png"), bgr)
         cv2.imwrite(
             os.path.join(scene_dir, "depth", f"{i:06d}.png"),
             np.round(depth).astype(np.uint16),
         )
-        gt[str(i)] = [
-            {"obj_id": 1, "cam_R_m2c": R.ravel().tolist(), "cam_t_m2c": t.tolist()}
-        ]
+        gt[str(i)] = entries
         cam[str(i)] = {"cam_K": K.ravel().tolist(), "depth_scale": 1.0}
     with open(os.path.join(scene_dir, "scene_gt.json"), "w") as fh:
         json.dump(gt, fh)
@@ -188,6 +208,9 @@ def main() -> None:
     parser.add_argument("--icp", action="store_true")
     parser.add_argument("--precision", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--instances", type=int, default=1,
+                        help="object instances per image (multi-instance "
+                             "regime: batched per-frame estimation + ICP)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -238,15 +261,20 @@ def main() -> None:
         run_cli(ae_embed, ["asym_obj"])
         timings["embed_s"] = round(time.time() - t0, 1)
 
-    dataset_root = os.path.join(ws, "bopdata")
+    dataset_root = os.path.join(
+        ws, "bopdata" if args.instances == 1 else f"bopdata_inst{args.instances}"
+    )
     if not os.path.exists(os.path.join(dataset_root, "test", "000001", "scene_gt.json")):
         t0 = time.time()
-        make_scenes(dataset_root, model_path, args.test_imgs)
+        make_scenes(dataset_root, model_path, args.test_imgs,
+                    instances=args.instances)
         timings["scene_render_s"] = round(time.time() - t0, 1)
 
     eval_name = "vsd_eval_icp" if args.icp else "vsd_eval"
+    if args.instances > 1:
+        eval_name += f"_inst{args.instances}"
     with open(os.path.join(ws, "cfg_eval", "eval.cfg"), "w") as fh:
-        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp))
+        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1)))
     t0 = time.time()
     run_cli(ae_eval, ["asym_obj", eval_name])
     timings["eval_s"] = round(time.time() - t0, 1)
@@ -267,9 +295,11 @@ def main() -> None:
         "pipeline": "ae_train -> ae_embed -> ae_eval (CLI)",
         "icp": bool(args.icp),
         "precision": args.precision,
+        "instances": args.instances,
         "iters": args.iters,
         "codebook_size": args.views * args.cyclo,
         "test_imgs": len(results),
+        "median_est_time_s": round(float(np.median([r["time"] for r in results])), 3),
         "vsd_recall@0.3": scores["vsd"]["recall"],
         "re_recall@15deg": scores["re"]["recall"],
         "te_recall@100mm": scores["te"]["recall"],

@@ -50,7 +50,7 @@ NOOF_BG_IMGS: 500
 
 [Augmentation]
 REALISTIC_OCCLUSION: False
-SQUARE_OCCLUSION: False
+SQUARE_OCCLUSION: {square_occlusion}
 MAX_REL_OFFSET: 0.2
 CODE: Sequential([
     Sometimes(0.5, Add((-25, 25), per_channel=0.3)),
@@ -208,6 +208,9 @@ def main() -> None:
     parser.add_argument("--icp", action="store_true")
     parser.add_argument("--precision", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--occlusion", action="store_true",
+                        help="train with SQUARE_OCCLUSION (the reference's "
+                             "clutter/occlusion robustness recipe)")
     parser.add_argument("--instances", type=int, default=1,
                         help="object instances per image (multi-instance "
                              "regime: batched per-frame estimation + ICP)")
@@ -252,6 +255,7 @@ def main() -> None:
                     views=args.views,
                     cyclo=args.cyclo,
                     iters=args.iters, precision=args.precision,
+                    square_occlusion=args.occlusion,
                 )
             )
         t0 = time.time()
@@ -296,6 +300,7 @@ def main() -> None:
         "icp": bool(args.icp),
         "precision": args.precision,
         "instances": args.instances,
+        "square_occlusion": bool(args.occlusion),
         "iters": args.iters,
         "codebook_size": args.views * args.cyclo,
         "test_imgs": len(results),

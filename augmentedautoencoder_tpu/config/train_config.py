@@ -51,6 +51,10 @@ class TrainConfig:
     # [Augmentation]
     realistic_occlusion: float = 0.0
     square_occlusion: float = 0.0
+    # probability of pasting another sample's render into the background
+    # (neighbor clutter for multi-instance robustness; new, no reference
+    # equivalent — the reference relies on tight detector boxes)
+    neighbor_clutter: float = 0.0
     max_rel_offset: float = 0.20
     code: Optional[augment_spec.AugSpec] = None
 
@@ -200,6 +204,7 @@ def load_train_config(path_or_parser) -> TrainConfig:
     for attr, key in (
         ("realistic_occlusion", "REALISTIC_OCCLUSION"),
         ("square_occlusion", "SQUARE_OCCLUSION"),
+        ("neighbor_clutter", "NEIGHBOR_CLUTTER"),
     ):
         if cp.has_option("Augmentation", key):
             v = safe_eval(cp.get("Augmentation", key))

@@ -51,6 +51,7 @@ NOOF_BG_IMGS: 500
 [Augmentation]
 REALISTIC_OCCLUSION: False
 SQUARE_OCCLUSION: {square_occlusion}
+NEIGHBOR_CLUTTER: {neighbor_clutter}
 MAX_REL_OFFSET: 0.2
 CODE: Sequential([
     Sometimes(0.5, Add((-25, 25), per_channel=0.3)),
@@ -208,6 +209,9 @@ def main() -> None:
     parser.add_argument("--icp", action="store_true")
     parser.add_argument("--precision", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--clutter", type=float, default=0.0,
+                        help="NEIGHBOR_CLUTTER probability: paste other "
+                             "samples' renders into training backgrounds")
     parser.add_argument("--occlusion", action="store_true",
                         help="train with SQUARE_OCCLUSION (the reference's "
                              "clutter/occlusion robustness recipe)")
@@ -256,6 +260,7 @@ def main() -> None:
                     cyclo=args.cyclo,
                     iters=args.iters, precision=args.precision,
                     square_occlusion=args.occlusion,
+                    neighbor_clutter=args.clutter,
                 )
             )
         t0 = time.time()
@@ -301,6 +306,7 @@ def main() -> None:
         "precision": args.precision,
         "instances": args.instances,
         "square_occlusion": bool(args.occlusion),
+        "neighbor_clutter": args.clutter,
         "iters": args.iters,
         "codebook_size": args.views * args.cyclo,
         "test_imgs": len(results),

@@ -171,3 +171,36 @@ class TestCheckpoint:
         assert mgr.resolve_step(200) == 200
         assert mgr.resolve_step(None) == 300
         assert mgr.resolve_step(99999) is None
+
+
+class TestNeighborClutter:
+    def _mk(self, p):
+        from augmentedautoencoder_tpu.data import augment_spec as S
+
+        cfg = tiny_cfg(neighbor_clutter=p)
+        cfg.code = S.Sequential([])
+        rng = np.random.RandomState(1)
+        n = cfg.noof_training_imgs
+        # each sample a distinct constant color; object = center square
+        train_x = np.zeros((n, H, W, 3), np.uint8)
+        for i in range(n):
+            train_x[i] = 100 + i
+        masks = np.ones((n, H, W), bool)  # True = background
+        masks[:, 12:20, 12:20] = False    # object region
+        bg = np.zeros((4, H, W, 3), np.uint8)
+        return DeviceDataset(cfg, train_x, masks, train_y=train_x.copy(), bg_imgs=bg)
+
+    def test_clutter_pastes_neighbor_pixels(self):
+        ds = self._mk(1.0)
+        x, _ = ds.sample_batch(KEY, 8)
+        x = np.asarray(x)
+        bg_region = x[:, :8, :, :]  # far from the center object
+        assert (bg_region > 0).any(), "background must contain neighbor pixels"
+
+    def test_off_means_clean_background(self):
+        ds = self._mk(0.0)
+        x, _ = ds.sample_batch(KEY, 8)
+        x = np.asarray(x)
+        assert (x[:, :8, :, :] == 0).all()  # zeros bg untouched
+        # and the object region carries the sample's own color
+        assert (x[:, 12:20, 12:20, :] > 0).all()

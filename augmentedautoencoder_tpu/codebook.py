@@ -89,6 +89,11 @@ class Codebook:
         z_chunks = []
         bb_chunks = []
         spans = list(batch_iteration_indices(embedding_size, batch_size))
+        if not spans:
+            raise ValueError(
+                f"embedding_size={embedding_size} yields no view batches — "
+                "check MIN_N_VIEWS/NUM_CYCLO in the [Embedding] config"
+            )
         with ThreadPoolExecutor(1) as pool:
             pending = pool.submit(render_batch_fn, *spans[0])
             for i, (a, e) in enumerate(spans):

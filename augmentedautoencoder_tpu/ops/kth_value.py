@@ -29,11 +29,20 @@ def kth_largest(err: jax.Array, k: int) -> jax.Array:
     """Exact per-row k-th largest of a NON-NEGATIVE f32 matrix.
 
     err: (B, N) with all entries >= 0 (squared / absolute errors).
-    Returns (B, 1), bit-identical to `lax.top_k(err, k)[0][:, -1:]`.
+    Returns (B, 1), bit-identical to `lax.top_k(err, k)[0][:, -1:]` for
+    finite input. +inf entries are clamped to the largest finite f32
+    (3.4028235e38) before bisection — an inf would break the cnt(hi) < k
+    bracket invariant; under the bootstrapped loss an inf error only arises
+    from an upstream NaN/overflow, where the training run is lost anyway.
     """
     if not (0 < k <= err.shape[1]):
         raise ValueError(f"k={k} out of range for {err.shape}")
+    if err.dtype != jnp.float32:
+        # the bitcast below is width- and order-sensitive; anything but f32
+        # (e.g. a future bf16 loss head) would silently bisect garbage
+        raise TypeError(f"kth_largest requires float32 input, got {err.dtype}")
     bits = jax.lax.bitcast_convert_type(err, jnp.int32)  # monotone for >= 0
+    bits = jnp.minimum(bits, jnp.int32(_F32_INF_BITS - 1))  # clamp +inf
 
     b = err.shape[0]
     lo = jnp.zeros((b,), jnp.int32)            # invariant: cnt(lo) >= k

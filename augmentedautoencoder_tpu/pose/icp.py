@@ -64,9 +64,14 @@ def _kabsch_rotation(H: jax.Array) -> jax.Array:
         return 0.5 * (X + _inv3(X).T)
 
     W = jax.lax.fori_loop(0, 16, body, X)
-    # improper (reflection) case: refuse rather than flip — with dense 3-D
-    # clouds this only occurs on degenerate input, where any answer is noise
-    return jnp.where(jnp.linalg.det(W) > 0.0, W.T, jnp.eye(3))
+    # Refuse rather than guess on degenerate input: improper (reflection)
+    # polar factors, and ill-conditioned H (near-planar clouds) where 16
+    # unscaled Newton steps may not have converged to an orthogonal matrix —
+    # without the residual check a non-rigid W could be composed into the
+    # pose. With dense 3-D clouds neither case occurs on sane input.
+    ortho_residual = jnp.linalg.norm(W.T @ W - jnp.eye(3))
+    proper_rotation = (jnp.linalg.det(W) > 0.0) & (ortho_residual < 1e-3)
+    return jnp.where(proper_rotation, W.T, jnp.eye(3))
 
 
 @functools.partial(jax.jit, static_argnames=("depth_only", "no_depth"))

@@ -145,7 +145,6 @@ class Trainer:
         # Instead the logged losses are stacked into ONE tiny device vector,
         # its host copy is enqueued asynchronously, and values materialize
         # 50 logs later when the compute has long finished.
-        import jax.numpy as jnp
         import numpy as np
 
         pending: list = []  # (step, names, device vector)
@@ -161,6 +160,23 @@ class Trainer:
             return last
 
         t0 = time.time()
+        try:
+            self._train_loop(
+                start, num_iter, save_interval, save_hook, log_every,
+                progress, pending, flush_pending, t0,
+            )
+        finally:
+            # an exception inside step_fn (OOM, NaN abort) must not lose the
+            # already-enqueued metrics closest to the crash
+            flush_pending()
+        return self.state
+
+    def _train_loop(
+        self, start, num_iter, save_interval, save_hook, log_every,
+        progress, pending, flush_pending, t0,
+    ) -> None:
+        import jax.numpy as jnp
+
         for i in range(start, num_iter):
             self.state, losses = self.step_fn(self.state, self.rng)
 
@@ -192,5 +208,3 @@ class Trainer:
                 if save_hook:
                     save_hook(i + 1, self.state)
                 break
-        flush_pending()
-        return self.state

@@ -33,6 +33,15 @@ def test_ragged_tail_and_normalization():
     np.testing.assert_allclose(emb, raw, rtol=1e-5)
 
 
+def test_empty_embedding_raises_clear_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="no view batches"):
+        Codebook.build_embedding(
+            lambda xb: xb, lambda a, e: (None, None), 0, 16, progress=False
+        )
+
+
 def test_match_poses_n_top():
     from augmentedautoencoder_tpu.evaluation.matching import EstimateErrors, match_poses
 

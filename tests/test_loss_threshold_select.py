@@ -81,6 +81,25 @@ class TestKthLargestBitsearch:
         for k in (1, 3, 6):
             self._check(err, k)
 
+    def test_rejects_non_f32(self):
+        from augmentedautoencoder_tpu.ops.kth_value import kth_largest
+
+        import pytest
+
+        with pytest.raises(TypeError, match="float32"):
+            kth_largest(jnp.zeros((2, 8), jnp.bfloat16), 2)
+
+    def test_inf_clamps_to_max_finite(self):
+        # +inf would break the bisection bracket; it is clamped to the
+        # largest finite f32 (documented divergence from lax.top_k)
+        from augmentedautoencoder_tpu.ops.kth_value import kth_largest
+
+        err = np.array([[0.0, 1.0, np.inf, 2.0]], np.float32)
+        got = np.asarray(kth_largest(jnp.asarray(err), 1))
+        assert got[0, 0] == np.finfo(np.float32).max
+        got2 = np.asarray(kth_largest(jnp.asarray(err), 2))
+        assert got2[0, 0] == 2.0  # finite entries unaffected
+
     def test_loss_default_equals_sort_mode(self):
         rng = np.random.RandomState(2)
         r = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))

@@ -77,6 +77,26 @@ class TestBestFit:
         err = np.rad2deg(transform.rotation_error(R, R_est))
         assert err < 0.05, err
 
+    def test_degenerate_cloud_falls_back_to_identity(self):
+        """Ill-conditioned H (collinear cloud: rank-1 covariance) must not
+        compose a non-rigid matrix into the pose — the Kabsch iteration's
+        orthogonality residual check falls back to identity instead."""
+        rng = np.random.RandomState(1)
+        line = rng.rand(200, 1).astype(np.float32) * np.array([[1.0, 2.0, 3.0]])
+        A = line.astype(np.float32)
+        B = (line * np.array([[0.5, 1.0, -2.0]])).astype(np.float32)  # non-rigid map
+        _, R_est, _ = best_fit_transform(A, B)
+        # whatever R comes back must be a proper rotation
+        np.testing.assert_allclose(R_est @ R_est.T, np.eye(3), atol=1e-3)
+        assert np.linalg.det(R_est) > 0.9
+
+    def test_wellconditioned_unaffected_by_ortho_guard(self):
+        A = random_cloud()
+        R = transform.rotation_matrix(1.1, [0.2, -0.7, 0.4])[:3, :3]
+        B = (A @ R.T).astype(np.float32)
+        _, R_est, _ = best_fit_transform(A, B)
+        np.testing.assert_allclose(R_est, R, atol=1e-4)
+
 
 class TestICP:
     def test_nearest_neighbor(self):

@@ -129,6 +129,39 @@ class TestTrainer:
         trainer.train(progress=False)
         assert int(trainer.state.step) == 1
 
+    def test_crash_mid_loop_flushes_pending_metrics(self):
+        """Deferred metric readback must not lose the scalars closest to a
+        crash: an exception inside step_fn still flushes the pending queue
+        (ADVICE r2) — those are exactly the metrics that diagnose the crash."""
+
+        class Writer:
+            def __init__(self):
+                self.rows = []
+
+            def write_scalars(self, step, scalars):
+                self.rows.append((step, scalars))
+
+        cfg = tiny_cfg(num_iter=1000, save_interval=1000)
+        ds = tiny_dataset(cfg)
+        writer = Writer()
+        trainer = Trainer(cfg, ds, mesh=None, metric_writer=writer)
+        orig_step = trainer.step_fn
+        calls = []
+
+        def crashing_step(state, rng):
+            if len(calls) >= 25:
+                raise RuntimeError("synthetic mid-training crash")
+            calls.append(1)
+            return orig_step(state, rng)
+
+        trainer.step_fn = crashing_step
+        with pytest.raises(RuntimeError, match="synthetic"):
+            trainer.train(progress=False, log_every=10)
+        # steps 10 and 20 were enqueued but not yet flushed (flush cadence is
+        # log_every*50); the finally block must have written them
+        assert [s for s, _ in writer.rows] == [10, 20]
+        assert all(np.isfinite(list(sc.values())).all() for _, sc in writer.rows)
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):

@@ -39,8 +39,9 @@ def main() -> None:
     eval_cfg_path = ws.get_eval_config_file_path(workspace_path, args.eval_cfg)
     eval_cfg = load_eval_config(eval_cfg_path)
 
-    codebook, dataset = factory.build_codebook_from_name(
-        experiment_name, experiment_group, return_dataset=True, at_step=args.at_step
+    codebook, dataset, decode = factory.build_codebook_from_name(
+        experiment_name, experiment_group, return_dataset=True,
+        return_decoder=True, at_step=args.at_step,
     )
     train_cfg = dataset.cfg
 
@@ -103,6 +104,57 @@ def main() -> None:
             plots.plot_scores_bar(out["scores"], eval_dir)
         if eval_cfg.embedding_pca and codebook.embedding_normalized is not None:
             plots.plot_embedding_pca(np.asarray(codebook.embedding_normalized), eval_dir)
+
+        # occlusion-binned analysis (reference eval_plots.py:540-662):
+        # vsd-vs-visibility and rectified-re-vs-visibility boxplots
+        for et in ("vsd", "re"):
+            pairs = [
+                (r.errors[et], r.visib_fract)
+                for r in out["results"]
+                if et in r.errors and r.visib_fract is not None
+            ]
+            if pairs:
+                errs, vis = zip(*pairs)
+                plots.plot_error_vs_visibility(errs, vis, et, eval_dir)
+
+        # scene overlay with the (raw + refined) estimate
+        # (reference eval_plots.py:210-265, written to disk)
+        ov = out.get("overlay_sample")
+        if ov is not None and renderer is not None:
+            W, H = ov["dims"]
+            obj_render, _ = renderer.render(
+                0, W, H, ov["K"], ov["R_raw"], ov["t_raw"], 10.0, 10000.0,
+                random_light=False,
+            )
+            refined_render = None
+            if ov["R_refined"] is not None:
+                refined_render, _ = renderer.render(
+                    0, W, H, ov["K"], ov["R_refined"], ov["t_refined"],
+                    10.0, 10000.0, random_light=False,
+                )
+            plots.plot_scene_with_estimate(
+                ov["img"], obj_render, ov["bbox"], ov["score"], ov["obj_id"],
+                os.path.join(eval_dir, "scene_with_estimate.png"),
+                refined_render=refined_render,
+            )
+
+        # reconstruction grid + nearest-neighbor strips
+        # (reference eval_plots.py:37-72)
+        sample = out.get("sample_crops") or []
+        if sample:  # tiles() pads the 4x4 grid when fewer than 16
+            x = np.stack(sample[:16]).astype(np.float32) / 255.0
+            z = codebook.test_embedding(x, normalized=False).reshape(len(x), -1)
+            reconst = np.asarray(decode(z))
+            plots.plot_reconstruction_grid(x, reconst, eval_dir)
+            if renderer is not None:
+                rows = []
+                for xi in x[:4]:
+                    Rs_nn = codebook.nearest_rotation((xi * 255).astype(np.uint8), top_n=8)
+                    row = [xi]
+                    for R_nn in np.asarray(Rs_nn).reshape(-1, 3, 3):
+                        row.append(dataset.render_rot(R_nn, downSample=1) / 255.0)
+                    rows.append(row)
+                plots.plot_nearest_neighbors(rows, eval_dir)
 
     # LaTeX report (reference eval/latex_report.py; pdflatex optional)
     from ..evaluation.latex_report import generate_report

@@ -36,6 +36,7 @@ class EvalResult:
     gt_idx: int
     run_time: float
     errors: Dict[str, float] = dataclasses.field(default_factory=dict)
+    visib_fract: Optional[float] = None  # GT visibility for occlusion plots
 
 
 class Evaluator:
@@ -56,6 +57,11 @@ class Evaluator:
         self.model_pts = model_pts
         self.model_diameter = model_diameter
         self.icp_handle = icp_handle
+        # grist for the analysis figures: first-16 eval crops (for the
+        # reconstruction / nearest-neighbor grids) and one full-scene
+        # overlay sample (raw + refined estimate)
+        self._sample_crops: List[np.ndarray] = []
+        self._overlay_sample: Optional[Dict] = None
         self._detections = None
         if eval_cfg.estimate_bbs and eval_cfg.detections_path:
             import json as _json
@@ -164,6 +170,17 @@ class Evaluator:
         )
         aae_time = time.time() - t0
 
+        if len(self._sample_crops) < 16:
+            self._sample_crops.extend(crops[: 16 - len(self._sample_crops)])
+        stash_overlay = self._overlay_sample is None
+        if stash_overlay:
+            self._overlay_sample = {
+                "img": img, "K": K_test, "bbox": bbs[0], "dims": (W, H),
+                "obj_id": ec.obj_id, "score": 1.0,
+                "R_raw": np.array(Rs[0]), "t_raw": np.array(ts[0]),
+                "R_refined": None, "t_refined": None,
+            }
+
         if ec.icp and self.icp_handle is not None:
             t1 = time.time()
             depth = loader.load_depth(im_id)
@@ -196,7 +213,11 @@ class Evaluator:
                         det_bb=bbs[k], train_cfg=self.train_cfg,
                     )
             aae_time += time.time() - t1
+            if stash_overlay:
+                self._overlay_sample["R_refined"] = np.array(Rs[0])
+                self._overlay_sample["t_refined"] = np.array(ts[0])
 
+        vis_by_gi = {gi: g.visib_fract for gi, g in gts}
         results = []
         for k, gi in enumerate(gt_idcs):
             results.append(
@@ -204,6 +225,7 @@ class Evaluator:
                     scene_id=scene_id, im_id=im_id, obj_id=ec.obj_id,
                     R_est=Rs[k], t_est=ts[k], score=1.0, gt_idx=gi,
                     run_time=aae_time / len(gt_idcs),
+                    visib_fract=vis_by_gi.get(gi),
                 )
             )
         return results
@@ -311,4 +333,9 @@ class Evaluator:
         with open(os.path.join(eval_dir, "scores.json"), "w") as fh:
             json.dump(score_summary, fh, indent=1)
 
-        return {"results": all_results, "scores": scores}
+        return {
+            "results": all_results,
+            "scores": scores,
+            "sample_crops": self._sample_crops,
+            "overlay_sample": self._overlay_sample,
+        }

@@ -1,8 +1,12 @@
 """Evaluation plots (reference auto_pose/eval/eval_plots.py, matplotlib).
 
-Subset rebuilt: per-metric error histograms + cumulative error curves,
-codebook embedding PCA scatter, and the viewsphere scatter. All figures are
-written as PNGs into the eval dir (headless Agg backend).
+Rebuilt set: per-metric error histograms + cumulative error curves, codebook
+embedding PCA scatter, viewsphere scatter, recall bars, occlusion-binned
+error boxplots (eval_plots.py:540-662), scene-with-estimate overlays
+(eval_plots.py:210-265, written to disk instead of cv2.imshow), and the
+reconstruction / nearest-neighbor grids (eval_plots.py:37-72). All figures
+are written as PNGs into the eval dir (headless Agg backend); the
+paper-facing ones get .tex twins (tikz.py).
 """
 
 from __future__ import annotations
@@ -95,6 +99,154 @@ def plot_viewsphere(pts: np.ndarray, out_dir: str) -> str:
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_error_vs_visibility(
+    errors: Sequence[float],
+    visib_fracts: Sequence[float],
+    error_type: str,
+    out_dir: str,
+    bins: int = 10,
+) -> str:
+    """Occlusion-binned error boxplots: one box per visibility bin
+    (reference eval_plots.py:540-605 for vsd, :607-662 for re).
+
+    Rotation errors are rectified to min(err, 180-err) as the reference
+    does for re; bin edges are the 10 equal visibility deciles in [0, 1]
+    and each box title carries the per-bin estimate counts.
+    """
+    plt = _plt()
+    errs = np.asarray(errors, np.float64)
+    vis = np.asarray(visib_fracts, np.float64)
+    assert errs.shape == vis.shape, (errs.shape, vis.shape)
+    if error_type == "re":
+        errs = np.minimum(errs, 180.0 - errs)
+
+    bounds = np.linspace(0.0, 1.0, bins + 1)
+    bin_errs, bin_count = [], []
+    for idx in range(bins):
+        sel = (vis > bounds[idx]) & (vis <= bounds[idx + 1])
+        bin_errs.append(errs[sel])
+        bin_count.append(int(sel.sum()))
+    centers = bounds[:-1] + (bounds[1] - bounds[0]) / 2.0
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.boxplot(bin_errs, positions=centers, widths=0.5 / bins, sym="+")
+    ax.set_xlim(0.0, 1.0)
+    ax.set_xticks(centers)
+    ax.set_xticklabels([f"{c:.2f}" for c in centers], fontsize=7)
+    ax.grid(True, alpha=0.4)
+    ax.set_xlabel("visibility [fraction]")
+    ax.set_ylabel(f"{error_type} err" + (" [deg]" if error_type == "re" else ""))
+    ax.set_title(f"visibility vs {error_type} error, bin counts {bin_count}", fontsize=8)
+    # reference file naming: vsd_occlusion / R_err_occlusion
+    stem = "R_err_occlusion" if error_type == "re" else f"{error_type}_occlusion"
+    path = os.path.join(out_dir, f"{stem}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    from .tikz import write_boxplot_tikz
+
+    write_boxplot_tikz(bin_errs, centers, stem, out_dir, counts=bin_count)
+    return path
+
+
+def plot_scene_with_estimate(
+    scene_img: np.ndarray,
+    obj_render: np.ndarray,
+    bbox: Sequence[float],
+    score: float,
+    obj_id: int,
+    out_path: str,
+    refined_render: Optional[np.ndarray] = None,
+) -> str:
+    """Scene overlay with the estimated pose (eval_plots.py:210-265),
+    written to disk (headless) instead of cv2.imshow.
+
+    obj_render / refined_render are full-scene-size renders of the estimate
+    (zeros off the object). The raw estimate replaces scene pixels; the
+    refined estimate is blended as 2/3 green-channel + 1/3 scene, exactly
+    the reference's "refined" look.
+    """
+    plt = _plt()
+    scene = np.asarray(scene_img).astype(np.float32)
+    if scene.ndim == 2:
+        scene = np.repeat(scene[..., None], 3, axis=2)
+
+    panels = []
+    obj = np.asarray(obj_render, np.float32)
+    view = scene.copy()
+    view[obj > 0] = obj[obj > 0]
+    panels.append(("estimate", view))
+
+    if refined_render is not None:
+        ref = np.asarray(refined_render, np.float32)
+        g = np.zeros_like(ref)
+        g[:, :, 1] = ref[:, :, 1]
+        view_r = scene.copy()
+        mask = ref > 0
+        view_r[mask] = g[mask] * (2.0 / 3.0) + view_r[mask] * (1.0 / 3.0)
+        panels.append(("refined", view_r))
+
+    x, y, w, h = [float(v) for v in bbox]
+    fig, axes = plt.subplots(1, len(panels), figsize=(6 * len(panels), 5))
+    if len(panels) == 1:
+        axes = [axes]
+    for ax, (name, img) in zip(axes, panels):
+        ax.imshow(np.clip(img, 0, 255).astype(np.uint8))
+        ax.add_patch(
+            plt.Rectangle((x, y), w, h, fill=False, edgecolor="#2ca02c", linewidth=2)
+        )
+        ax.text(
+            x, y + h + 12, f"{obj_id}: {score:.3f}", color="#2ca02c", fontsize=9
+        )
+        ax.set_title(name)
+        ax.axis("off")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_reconstruction_grid(
+    x: np.ndarray, reconst: np.ndarray, out_dir: str
+) -> str:
+    """Side-by-side 4x4 grids of eval crops and their decoder
+    reconstructions (reference eval_plots.py:37-72 writes
+    figures/reconstruction_imgs.png)."""
+    from ..utils.misc import tiles
+
+    x = np.asarray(x, np.float32)
+    reconst = np.asarray(reconst, np.float32)
+    if x.max() > 1.5:  # uint8-scaled input
+        x = x / 255.0
+    grid = np.hstack((tiles(x, 4, 4), tiles(reconst, 4, 4)))
+    path = os.path.join(out_dir, "reconstruction_imgs.png")
+    _save_float_image(grid, path)
+    return path
+
+
+def plot_nearest_neighbors(rows: Sequence[Sequence[np.ndarray]], out_dir: str) -> str:
+    """Per-crop strips [input | top-n codebook-neighbor renders] stacked
+    vertically (reference eval_plots.py:57-70)."""
+    from ..utils.misc import tiles
+
+    strips = []
+    for row in rows:
+        imgs = np.stack([np.asarray(im, np.float32) for im in row])
+        if imgs.max() > 1.5:
+            imgs = imgs / 255.0
+        strips.append(tiles(imgs, 1, len(row), 10, 10))
+    all_nns = tiles(np.stack(strips), len(strips), 1, 10, 10)
+    path = os.path.join(out_dir, "nearest_neighbors.png")
+    _save_float_image(all_nns, path)
+    return path
+
+
+def _save_float_image(img: np.ndarray, path: str) -> None:
+    plt = _plt()
+    arr = np.clip(np.asarray(img, np.float64), 0.0, 1.0)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[..., 0]
+    plt.imsave(path, arr, cmap="gray" if arr.ndim == 2 else None)
 
 
 def plot_scores_bar(scores: Dict[str, Dict], out_dir: str) -> str:

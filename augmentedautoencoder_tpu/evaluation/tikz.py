@@ -68,3 +68,38 @@ def write_cumulative_tikz(
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
     return path
+
+
+def write_boxplot_tikz(
+    bin_values: Sequence[np.ndarray],
+    positions: Sequence[float],
+    stem: str,
+    out_dir: str,
+    counts: Optional[Sequence[int]] = None,
+) -> str:
+    """Occlusion-binned boxplots as pgfplots `boxplot prepared` marks
+    (reference exports vsd_occlusion.tex / R_err_occlusion.tex via
+    matplotlib2tikz, eval_plots.py:605,662). Empty bins are skipped but
+    keep their position so the visibility axis stays calibrated."""
+    lines = [
+        "% " + stem + (f" bin counts {list(counts)}" if counts is not None else ""),
+        "\\begin{tikzpicture}",
+        "\\begin{axis}[boxplot/draw direction=y, xlabel={visibility "
+        "[fraction]}, ylabel={" + stem.replace("_", " ") + "}, xmin=0, xmax=1]",
+    ]
+    for pos, vals in zip(positions, bin_values):
+        vals = np.asarray(vals, np.float64)
+        if vals.size == 0:
+            continue
+        q1, med, q3 = np.percentile(vals, [25, 50, 75])
+        lines.append(
+            "\\addplot+[boxplot prepared={draw position=%g, lower whisker=%g, "
+            "lower quartile=%g, median=%g, upper quartile=%g, upper whisker=%g, "
+            "box extend=%g}] coordinates {};"
+            % (pos, vals.min(), q1, med, q3, vals.max(), 0.05)
+        )
+    lines += ["\\end{axis}", "\\end{tikzpicture}", ""]
+    path = os.path.join(out_dir, f"{stem}.tex")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+    return path

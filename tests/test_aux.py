@@ -161,3 +161,73 @@ class TestTikzExport:
         plots.plot_cumulative_error(errs, "te", str(tmp_path), threshold=5.0)
         assert (tmp_path / "error_hist_te.tex").exists()
         assert (tmp_path / "cumulative_te.tex").exists()
+
+
+class TestAnalysisPlots:
+    """Occlusion-binned boxplots, scene overlay, reconstruction grids
+    (reference eval_plots.py:37-72, 210-265, 540-662)."""
+
+    def test_error_vs_visibility_boxplots_and_tex(self, tmp_path):
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        rng = np.random.RandomState(0)
+        vis = rng.rand(80)
+        errs = 30.0 * (1.0 - vis) + rng.rand(80) * 5  # worse when occluded
+        p = plots.plot_error_vs_visibility(errs, vis, "vsd", str(tmp_path))
+        assert p.endswith("vsd_occlusion.png") and (tmp_path / "vsd_occlusion.png").exists()
+        tex = (tmp_path / "vsd_occlusion.tex").read_text()
+        assert "boxplot prepared" in tex
+        assert tex.count("\\begin{axis}") == tex.count("\\end{axis}") == 1
+        # re rectification + reference file naming (R_err_occlusion)
+        p2 = plots.plot_error_vs_visibility([175.0, 10.0], [0.2, 0.8], "re", str(tmp_path))
+        assert p2.endswith("R_err_occlusion.png")
+        assert (tmp_path / "R_err_occlusion.tex").exists()
+
+    def test_error_vs_visibility_with_empty_bins(self, tmp_path):
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        # all visibility mass in one bin: 9 empty bins must not crash and
+        # the tex twin must still be balanced
+        p = plots.plot_error_vs_visibility(
+            [1.0, 2.0, 3.0], [0.91, 0.95, 0.99], "vsd", str(tmp_path)
+        )
+        assert (tmp_path / "vsd_occlusion.tex").exists()
+        tex = (tmp_path / "vsd_occlusion.tex").read_text()
+        assert tex.count("boxplot prepared") == 1  # one non-empty bin
+
+    def test_scene_overlay_raw_and_refined(self, tmp_path):
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        scene = np.full((40, 60, 3), 50, np.uint8)
+        obj = np.zeros((40, 60, 3), np.float32)
+        obj[10:20, 20:35] = 200.0
+        out = str(tmp_path / "scene_with_estimate.png")
+        p = plots.plot_scene_with_estimate(
+            scene, obj, bbox=[18, 8, 20, 14], score=0.87, obj_id=5,
+            out_path=out, refined_render=obj,
+        )
+        assert p == out and (tmp_path / "scene_with_estimate.png").exists()
+
+    def test_reconstruction_and_nn_grids(self, tmp_path):
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 255, (16, 16, 16, 3)).astype(np.float32)  # uint8 scale
+        recon = rng.rand(16, 16, 16, 3).astype(np.float32)
+        p = plots.plot_reconstruction_grid(x, recon, str(tmp_path))
+        assert (tmp_path / "reconstruction_imgs.png").exists()
+        # grid is two 4x4 tiles side by side
+        import matplotlib.image as mpimg
+
+        img = mpimg.imread(p)
+        assert img.shape[1] == 2 * img.shape[0]
+
+        rows = [[rng.rand(16, 16, 3) for _ in range(9)] for _ in range(4)]
+        plots.plot_nearest_neighbors(rows, str(tmp_path))
+        assert (tmp_path / "nearest_neighbors.png").exists()

@@ -154,7 +154,7 @@ class TestEvalPipeline:
         os.makedirs(os.path.join(scene_dir, "rgb"), exist_ok=True)
         os.makedirs(os.path.join(scene_dir, "depth"), exist_ok=True)
         t = np.array([0.0, 0.0, 300.0])
-        gt, cam = {}, {}
+        gt, cam, gt_info = {}, {}, {}
         from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
 
         for i, R in enumerate(Rs):
@@ -174,10 +174,21 @@ class TestEvalPipeline:
                 }
             ]
             cam[str(i)] = {"cam_K": K.ravel().tolist(), "depth_scale": 1.0}
+            # unoccluded synthetic views: visib ~1, spread slightly so the
+            # occlusion-binned plots see more than one bin
+            gt_info[str(i)] = [
+                {
+                    "bbox_obj": bb,
+                    "bbox_visib": bb,
+                    "visib_fract": round(0.95 - 0.25 * (i % 3), 2),
+                }
+            ]
         with open(os.path.join(scene_dir, "scene_gt.json"), "w") as fh:
             json.dump(gt, fh)
         with open(os.path.join(scene_dir, "scene_camera.json"), "w") as fh:
             json.dump(cam, fh)
+        with open(os.path.join(scene_dir, "scene_gt_info.json"), "w") as fh:
+            json.dump(gt_info, fh)
         return scene_dir
 
     def test_evaluator_with_external_detections(self, tmp_path):
@@ -379,6 +390,17 @@ COMPUTE_PLOTS: True
             assert r["errors"]["te"] < 10.0  # mm
         assert os.path.exists(os.path.join(eval_dir, "error_hist_re.png"))
         assert os.path.exists(os.path.join(eval_dir, "recall_by_metric.png"))
+        # occlusion-binned analysis plots (reference eval_plots.py:540-662)
+        # fire because the fixture scene carries visib_fract in gt_info
+        assert os.path.exists(os.path.join(eval_dir, "vsd_occlusion.png"))
+        assert os.path.exists(os.path.join(eval_dir, "vsd_occlusion.tex"))
+        assert os.path.exists(os.path.join(eval_dir, "R_err_occlusion.png"))
+        assert os.path.exists(os.path.join(eval_dir, "R_err_occlusion.tex"))
+        # scene overlay with the estimate (eval_plots.py:210-265)
+        assert os.path.exists(os.path.join(eval_dir, "scene_with_estimate.png"))
+        # reconstruction + nearest-neighbor grids (eval_plots.py:37-72)
+        assert os.path.exists(os.path.join(eval_dir, "reconstruction_imgs.png"))
+        assert os.path.exists(os.path.join(eval_dir, "nearest_neighbors.png"))
 
         # ---- second run with ICP refinement through the CLI wiring
         # (regression: the _Refiner closure once shadowed its ICP handle and

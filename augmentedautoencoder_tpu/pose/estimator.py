@@ -68,6 +68,7 @@ class AePoseEstimator(PoseEstInterface):
 
     def __init__(self, test_config_path):
         test_args = self.get_params(test_config_path)
+        self.test_args = test_args  # serving layers read extra options
 
         self._camPose = test_args.getboolean("auto_pose", "camPose")
         self._upright = test_args.getboolean("auto_pose", "upright")

@@ -55,7 +55,19 @@ class PoseServer:
     object setup. Falls back is the plain AePoseEstimator otherwise.
     """
 
-    def __init__(self, test_config_path: str, max_dets_per_class: int = 8):
+    def __init__(
+        self,
+        test_config_path: str,
+        max_dets_per_class: int = 8,
+        precision: Optional[str] = None,
+    ):
+        """precision: 'float32' (default) or 'bfloat16'. bf16 runs the
+        encoder stack's convs on the MXU in bf16 and stores the codebook
+        slab in bf16 (half the HBM traffic of the dominant (O,B,D)x(O,N,D)
+        query einsum), while the latent head and the cosine accumulation
+        stay f32 — the same recipe the training path validated end-to-end
+        (scripts/quality_vsd_asym_bf16.json). Also settable as
+        `serving_precision` in the [auto_pose] test config."""
         import jax
         import jax.numpy as jnp
 
@@ -66,6 +78,13 @@ class PoseServer:
 
         self._est = AePoseEstimator(test_config_path)
         self.max_dets = int(max_dets_per_class)
+        if precision is None:
+            precision = self._est.test_args.get(
+                "auto_pose", "serving_precision", fallback="float32"
+            )
+        if precision not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown serving precision: {precision!r}")
+        self.precision = precision
 
         self.classes = sorted(self._est.class_2_encoder)
         cfgs = [self._est.all_train_cfgs[c] for c in self.classes]
@@ -79,7 +98,11 @@ class PoseServer:
                 f"got {arch}. Use AePoseEstimator for heterogeneous setups."
             )
         self.cfg0 = cfgs[0]
-        self._model = AAE.from_config(self.cfg0)
+        import copy
+
+        model_cfg = copy.copy(self.cfg0)
+        model_cfg.precision = self.precision  # bf16 convs, f32 latent head
+        self._model = AAE.from_config(model_cfg)
 
         # stack per-class params (leading object axis) + codebook slab
         params_list = []
@@ -102,7 +125,8 @@ class PoseServer:
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
         )
         slab, lengths = stack_codebooks(codebooks)
-        self._slab = jnp.asarray(slab)
+        slab_dtype = jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
+        self._slab = jnp.asarray(slab, slab_dtype)
         self._lengths = jnp.asarray(lengths)
 
         model = self._model
@@ -120,7 +144,12 @@ class PoseServer:
             zn = z / jnp.maximum(
                 jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12
             )
-            cos = jnp.einsum("obd,ond->obn", zn, slab)
+            # bf16 slab halves the HBM traffic of the dominant query einsum;
+            # cosine scores still accumulate in f32 so ranking stays stable
+            cos = jnp.einsum(
+                "obd,ond->obn", zn.astype(slab.dtype), slab,
+                preferred_element_type=jnp.float32,
+            )
             col = jnp.arange(cos.shape[-1], dtype=jnp.int32)
             cos = jnp.where(
                 col[None, None, :] < lengths[:, None, None], cos, -2.0

@@ -368,6 +368,63 @@ class TestEndToEnd:
         R_est = out[0].trafo[:3, :3]
         np.testing.assert_allclose(R_est @ R_est.T, np.eye(3), atol=1e-5)
 
+    def test_pose_server_bf16_serving(self, workspace, monkeypatch, tmp_path):
+        """bf16 serving (bf16 convs + bf16 codebook slab, f32 latent head
+        and f32 cosine accumulation — the recipe bf16 training validated)
+        must retrieve the same codebook views as the f32 server on
+        exact-match crops."""
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+        from augmentedautoencoder_tpu.pose import BoundingBox
+        from augmentedautoencoder_tpu.serving import PoseServer
+
+        test_cfg = tmp_path / "m3_bf16.cfg"
+        test_cfg.write_text(
+            "[auto_pose]\n"
+            "camPose = False\n"
+            "upright = False\n"
+            "topk = 1\n"
+            "color_format = bgr\n"
+            "color_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj'}\n"
+        )
+        server32 = PoseServer(str(test_cfg), max_dets_per_class=4)
+        server16 = PoseServer(
+            str(test_cfg), max_dets_per_class=4, precision="bfloat16"
+        )
+        assert server16._slab.dtype.name == "bfloat16"
+
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        for view in (2, 9):
+            R = codebook.viewsphere[view]
+            bgr, depth = dataset.renderer.render(
+                0, W, H, cfg.K, R, np.array([0.0, 0.0, cfg.radius]),
+                cfg.clip_near, cfg.clip_far, random_light=False,
+            )
+            ys, xs = np.nonzero(depth > 0)
+            x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+            box = BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                              ymax=(y + h) / H, classes={"sphere": 0.99})
+            p32 = server32.process([box], bgr, cfg.K)
+            p16 = server16.process([box], bgr, cfg.K)
+            assert len(p16) == len(p32) == 1
+            # identical retrieved view -> identical pose (t math is host f32)
+            np.testing.assert_allclose(p16[0].trafo, p32[0].trafo, atol=1e-5)
+
+        # config-driven precision selection
+        cfg16 = tmp_path / "m3_bf16b.cfg"
+        cfg16.write_text(
+            test_cfg.read_text().replace(
+                "topk = 1\n", "topk = 1\nserving_precision = bfloat16\n"
+            )
+        )
+        assert PoseServer(str(cfg16), max_dets_per_class=4).precision == "bfloat16"
+
     def test_resume_from_checkpoint(self, workspace, monkeypatch):
         from augmentedautoencoder_tpu.cli import ae_train
 

@@ -97,7 +97,10 @@ def cosine_top1_pallas(
     (values (B,), indices (B,)). TPU only; use `cosine_top1` for dispatch."""
     b, d = z.shape
     n = codebook.shape[0]
-    q = l2_normalize(z)
+    # normalize in the query dtype (f32 latent head), then match the
+    # codebook dtype: a bf16 codebook halves the kernel's HBM traffic and
+    # the dot still accumulates in f32 (preferred_element_type)
+    q = l2_normalize(z).astype(codebook.dtype)
 
     n_pad = -n % tile_n
     if n_pad:
@@ -128,7 +131,8 @@ def cosine_top1_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * codebook.shape[0],
-            bytes_accessed=codebook.shape[0] * d * 4 + b * d * 4 + b * 8,
+            bytes_accessed=(codebook.shape[0] + b) * d * codebook.dtype.itemsize
+            + b * 8,
             transcendentals=0,
         ),
     )(q, codebook)

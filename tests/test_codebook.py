@@ -60,6 +60,33 @@ class TestNNQuery:
         zn = z / np.linalg.norm(z, axis=1, keepdims=True)
         np.testing.assert_array_equal(np.asarray(idcs), np.argmax(zn @ cb.T, axis=1))
 
+    def test_pallas_kernel_bf16_codebook(self):
+        # dtype-generic kernel: a bf16 codebook (the bf16 serving recipe)
+        # must rank like the f32 reference on well-separated rows
+        from functools import partial
+
+        from jax.experimental import pallas as pl
+        from augmentedautoencoder_tpu.ops import nn_query
+
+        rng = np.random.RandomState(3)
+        cb = rng.randn(300, 128).astype(np.float32)
+        cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+        z = rng.randn(8, 128).astype(np.float32)
+
+        orig = pl.pallas_call
+        with jax.disable_jit():
+            import unittest.mock as mock
+
+            with mock.patch.object(
+                pl, "pallas_call", partial(orig, interpret=True)
+            ):
+                vals, idcs = nn_query.cosine_top1_pallas.__wrapped__(
+                    jnp.asarray(z), jnp.asarray(cb, jnp.bfloat16), tile_n=256
+                )
+        assert vals.dtype == jnp.float32  # f32 accumulation preserved
+        zn = z / np.linalg.norm(z, axis=1, keepdims=True)
+        np.testing.assert_array_equal(np.asarray(idcs), np.argmax(zn @ cb.T, axis=1))
+
 
 def identity_encoder(latent: int):
     """Encoder stub: mean-pools the crop into a `latent`-dim code."""

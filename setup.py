@@ -12,7 +12,10 @@ setup(
     "learning for 6D object detection (JAX/XLA/Pallas rebuild)",
     packages=find_packages(exclude=("tests",)),
     package_data={
-        "augmentedautoencoder_tpu": ["cfg_templates/*.cfg"],
+        "augmentedautoencoder_tpu": [
+            "cfg_templates/*.cfg",
+            "cfg_templates/cfg_m3vision/*.cfg",
+        ],
     },
     python_requires=">=3.10",
     entry_points={

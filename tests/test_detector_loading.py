@@ -49,3 +49,45 @@ def test_clip_bb():
     det.process_raw = spy
     det.process(np.zeros((100, 100, 3), np.uint8))
     assert seen["shape"] == (50, 50, 3)
+
+
+class TestShippedM3Configs:
+    """The filled per-dataset m3 deployment configs
+    (cfg_templates/cfg_m3vision/, mirroring reference cfg_m3vision/) must
+    parse through the estimator's own config machinery."""
+
+    # reference object coverage per dataset (cfg_m3vision/m3_config_*.cfg)
+    EXPECTED = {
+        "tless": 30, "ycbv": 21, "lmo": 8, "hb": 16,
+        "icbin": 2, "itodd": 28, "tudl": 3,
+    }
+
+    def test_all_datasets_parse(self):
+        import glob
+        import os
+
+        import augmentedautoencoder_tpu as pkg
+        from augmentedautoencoder_tpu.config.safe_eval import safe_eval
+        from augmentedautoencoder_tpu.pose.estimator import AePoseEstimator
+
+        cfg_dir = os.path.join(
+            os.path.dirname(pkg.__file__), "cfg_templates", "cfg_m3vision"
+        )
+        paths = sorted(glob.glob(os.path.join(cfg_dir, "m3_config_*.cfg")))
+        assert len(paths) == len(self.EXPECTED)
+        for path in paths:
+            ds = os.path.basename(path)[len("m3_config_"):-len(".cfg")]
+            args = AePoseEstimator.get_params(path)
+            mapping = safe_eval(args.get("auto_pose", "class_2_encoder"))
+            assert len(mapping) == self.EXPECTED[ds], (ds, len(mapping))
+            for obj_id, exp in mapping.items():
+                assert isinstance(obj_id, int)
+                assert exp == f"bop_{ds}/obj_{obj_id:06d}"
+            assert args.getint("auto_pose", "topk") == 1
+            assert args.getboolean("auto_pose", "camPose") is False
+            assert args.getboolean("auto_pose", "upright") is False
+            assert args.getfloat("external", "inference_time") == 0.15
+            # the optional knobs stay commented out in the shipped files
+            assert args.get(
+                "auto_pose", "serving_precision", fallback="float32"
+            ) == "float32"

@@ -242,3 +242,165 @@ class TestVariationalSplit:
         g = split_reference_variables(self._vars(False), 2, 2)
         assert g["latent_sigma"] is None
         assert g["decoder_dense"]["kernel"].shape == (8, 1024)
+
+
+@pytest.mark.e2e
+class TestRealDataRunbook:
+    """The README 'Real-data runbook' chain, smoke-tested on synthetic
+    BOP-layout fixtures: reference TF checkpoint -> ae_import_tf ->
+    ae_eval -> compute_bop_results CSV. Keeps the parity path warm so the
+    day real T-LESS/BOP assets appear, the run is one command block."""
+
+    def test_import_eval_bop_chain(self, tmp_path, monkeypatch):
+        import json
+        import os
+        import sys
+        import textwrap
+
+        import cv2
+
+        # ---- reference-style TF checkpoint with a 48-row codebook
+        # (12 views x 4 cyclo so codebook indices map onto the viewsphere)
+        tf.disable_eager_execution()
+        rng = np.random.RandomState(0)
+        graph = tf.Graph()
+        with graph.as_default():
+            with tf.variable_scope("obj5"):
+                x = tf.placeholder(tf.float32, [None, H, W, 3])
+                z, recon = build_reference_graph(x)
+                emb_np = rng.rand(48, LATENT).astype(np.float32)
+                emb_np /= np.linalg.norm(emb_np, axis=1, keepdims=True)
+                tf.Variable(emb_np, trainable=False, name="embedding_normalized")
+                tf.Variable(
+                    np.tile(np.array([10, 8, 40, 44], np.int32), (48, 1)),
+                    trainable=False, name="embed_obj_bbs_var",
+                )
+            saver = tf.train.Saver()
+            with tf.Session(graph=graph) as sess:
+                sess.run(tf.global_variables_initializer())
+                ckpt = saver.save(sess, str(tmp_path / "tf" / "chkpt"),
+                                  global_step=30000)
+
+        # ---- workspace + import
+        ws_path = str(tmp_path / "ws")
+        monkeypatch.setenv("AE_WORKSPACE_PATH", ws_path)
+        from augmentedautoencoder_tpu import workspace as wsmod
+        from augmentedautoencoder_tpu.cli import ae_import_tf
+
+        wsmod.init_workspace(ws_path)
+        cfg_path = tmp_path / "obj5_train.cfg"
+        cfg_path.write_text(textwrap.dedent(f"""
+            [Paths]
+            MODEL_PATH: /nonexistent.ply
+            BACKGROUND_IMAGES_GLOB: /nonexistent/*.jpg
+            [Dataset]
+            MODEL: reconst
+            H: {H}
+            W: {W}
+            C: 3
+            RADIUS: 700
+            PAD_FACTOR: 1.2
+            [Embedding]
+            EMBED_BB: True
+            MIN_N_VIEWS: 12
+            NUM_CYCLO: 4
+            [Network]
+            LATENT_SPACE_SIZE: {LATENT}
+            NUM_FILTER: {FILTERS}
+            STRIDES: {STRIDES}
+            """))
+
+        def run(module, argv):
+            monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+            module.main()
+
+        run(ae_import_tf,
+            [ckpt, "tless_obj5", "--cfg", str(cfg_path), "--scope", "obj5"])
+
+        # ---- synthetic BOP-layout scene (rgb + gt + gt_info + camera)
+        bop = tmp_path / "bop"
+        scene_dir = bop / "test" / "000001"
+        (scene_dir / "rgb").mkdir(parents=True)
+        Kc = np.array([[120.0, 0, 32], [0, 120.0, 32], [0, 0, 1]])
+        gt, gt_info, cam = {}, {}, {}
+        for im in range(2):
+            cv2.imwrite(str(scene_dir / "rgb" / f"{im:06d}.png"),
+                        rng.randint(0, 255, (64, 64, 3), np.uint8))
+            R = np.eye(3)
+            gt[str(im)] = [{"obj_id": 5, "cam_R_m2c": R.ravel().tolist(),
+                            "cam_t_m2c": [0.0, 0.0, 700.0]}]
+            gt_info[str(im)] = [{"bbox_obj": [16, 16, 30, 30],
+                                 "bbox_visib": [16, 16, 30, 30],
+                                 "visib_fract": 0.9}]
+            cam[str(im)] = {"cam_K": Kc.ravel().tolist(), "depth_scale": 1.0}
+        (scene_dir / "scene_gt.json").write_text(json.dumps(gt))
+        (scene_dir / "scene_gt_info.json").write_text(json.dumps(gt_info))
+        (scene_dir / "scene_camera.json").write_text(json.dumps(cam))
+
+        # ---- ae_eval (rgb-only metrics; no mesh/renderer needed)
+        from augmentedautoencoder_tpu.cli import ae_eval
+
+        (tmp_path / "ws" / "cfg_eval" / "eval.cfg").write_text(textwrap.dedent(f"""
+            [METHOD]
+            METHOD: aae
+            [DATA]
+            DATASET: synthbop
+            DATASET_PATH: {bop}
+            OBJ_ID: 5
+            SCENES: [1]
+            CAM_TYPE:
+            [BBOXES]
+            ESTIMATE_BBS: False
+            SINGLE_INSTANCE: True
+            ICP: False
+            [EVALUATION]
+            COMPUTE_ERRORS: True
+            EVALUATE_ERRORS: True
+            [METRIC]
+            ERROR_TYPES: ['re', 'te']
+            ERROR_THRESH_DEG: 180
+            ERROR_THRESH_MM: 1000000
+            TOP_N_EVAL: 1
+            TOP_N: 1
+            [PLOT]
+            COMPUTE_PLOTS: True
+            """))
+        run(ae_eval, ["tless_obj5", "bop_parity"])
+        eval_dir = os.path.join(ws_path, "experiments", "tless_obj5", "eval",
+                                "bop_parity", "synthbop")
+        assert os.path.exists(os.path.join(eval_dir, "results.json"))
+        assert os.path.exists(os.path.join(eval_dir, "scores.json"))
+        with open(os.path.join(eval_dir, "results.json")) as fh:
+            results = json.load(fh)
+        assert len(results) == 2  # one estimate per image, plumbing-complete
+
+        # ---- BOP19 CSV across targets
+        from augmentedautoencoder_tpu.cli import compute_bop_results
+
+        (bop / "test_targets_bop19.json").write_text(json.dumps(
+            [{"scene_id": 1, "im_id": 0, "obj_id": 5, "inst_count": 1},
+             {"scene_id": 1, "im_id": 1, "obj_id": 5, "inst_count": 1}]
+        ))
+        m3_cfg = tmp_path / "m3_tless.cfg"
+        m3_cfg.write_text(
+            "[auto_pose]\n"
+            "camPose = False\nupright = False\ntopk = 1\n"
+            "color_format = bgr\ncolor_data_type = np.uint8\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {5: 'tless_obj5'}\n"
+        )
+        out_dir = tmp_path / "bop_out"
+        out_dir.mkdir()
+        run(compute_bop_results,
+            [str(m3_cfg), "--dataset_path", str(bop), "--dataset_name",
+             "tless", "--out_dir", str(out_dir), "--method", "aae-tpu"])
+        csvs = list(out_dir.glob("*.csv"))
+        assert len(csvs) == 1
+        lines = csvs[0].read_text().strip().splitlines()
+        assert lines[0].startswith("scene_id,im_id,obj_id,score,R,t,time")
+        assert len(lines) == 3  # header + 2 estimates
+        # every row carries a 9-number R and 3-number t in mm
+        for row in lines[1:]:
+            cells = row.split(",")
+            assert len(cells[4].split()) == 9
+            assert len(cells[5].split()) == 3

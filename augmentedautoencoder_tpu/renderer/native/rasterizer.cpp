@@ -25,6 +25,7 @@
 // CONTRACT: out_bgr / out_depth must be zero-initialized by the caller.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -59,11 +60,26 @@ inline float rsqrt_fast(float x) {
 #endif
 }
 
+// fast reciprocal (~22 bits): feeds only the f32 shading coefficients,
+// whose output is rounded to the 1/255 color quantum
+inline float rcp_fast(float x) {
+#if defined(AAE_HAVE_SSE)
+  float r = _mm_cvtss_f32(_mm_rcp_ss(_mm_set_ss(x)));
+  return r * (2.0f - x * r);
+#else
+  return 1.0f / x;
+#endif
+}
+
 struct Mesh {
   std::vector<double> verts;    // 3V
   std::vector<double> normals;  // 3V
   std::vector<float> colors;    // 3V in [0,1]
   std::vector<int32_t> faces;   // 3F
+  // SoA mirrors, padded to a multiple of 8 (last vertex repeated): the
+  // 8-wide vertex stage loads these contiguously
+  std::vector<double> vx, vy, vz, nx, ny, nz;
+  std::vector<float> cr, cg, cb;
   int n_verts = 0;
   int n_faces = 0;
   // backface culling is output-identical ONLY for closed, consistently
@@ -129,6 +145,22 @@ int detect_front_winding(const Mesh& m) {
 
 std::vector<Mesh> g_meshes;
 
+// Optional stage profiling (aae_prof_enable / aae_prof_get): cumulative
+// seconds for [vertex, sort, raster, writeback] across renders. Near-zero
+// overhead when disabled (one branch per stage boundary).
+bool g_prof_on = false;
+double g_prof[4] = {0, 0, 0, 0};
+using ProfClock = std::chrono::steady_clock;
+inline ProfClock::time_point prof_now() {
+  return g_prof_on ? ProfClock::now() : ProfClock::time_point{};
+}
+inline void prof_add(int slot, ProfClock::time_point t0) {
+  if (g_prof_on) {
+    g_prof[slot] +=
+        std::chrono::duration<double>(ProfClock::now() - t0).count();
+  }
+}
+
 struct Vec3f {
   float x, y, z;
 };
@@ -143,15 +175,53 @@ inline Vec3f normalize(Vec3f a) {
   return {a.x * inv, a.y * inv, a.z * inv};
 }
 
-// Per-vertex eye-space attributes (shader varyings).
-struct VertexAttr {
+// Per-vertex attributes, split by consumer:
+//   VGeo (32 B) -- projected geometry for face setup / sort / span math;
+//     z > 1e-9 doubles as the validity flag (invalid verts zero the rest)
+//   VShade (one 64 B cache line) -- the 12 shading varyings in lanes 0-11
+//     (n, l, view, color); the span loop interpolates ALL of them with
+//     three 16-wide FMAs and one aligned store per survivor
+struct VGeo {
   double u, v;       // pixel coords
   double z;          // eye-space z (OpenCV convention, >0 in front)
   double inv_z;
-  Vec3f n, l, view;  // GL-eye normal, to-light, to-eye (float: shading only)
-  Vec3f color;
-  bool valid;
 };
+struct alignas(64) VShade {
+  float a[16];
+};
+
+#if defined(AAE_AVX512)
+// in-register 16x16 f32 transpose (AoS survivor rows -> SoA shading lanes)
+inline void transpose16(__m512 m[16]) {
+  __m512 t[16];
+  for (int i = 0; i < 8; ++i) {
+    t[2 * i] = _mm512_unpacklo_ps(m[2 * i], m[2 * i + 1]);
+    t[2 * i + 1] = _mm512_unpackhi_ps(m[2 * i], m[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    m[4 * i] = _mm512_castpd_ps(_mm512_unpacklo_pd(
+        _mm512_castps_pd(t[4 * i]), _mm512_castps_pd(t[4 * i + 2])));
+    m[4 * i + 1] = _mm512_castpd_ps(_mm512_unpackhi_pd(
+        _mm512_castps_pd(t[4 * i]), _mm512_castps_pd(t[4 * i + 2])));
+    m[4 * i + 2] = _mm512_castpd_ps(_mm512_unpacklo_pd(
+        _mm512_castps_pd(t[4 * i + 1]), _mm512_castps_pd(t[4 * i + 3])));
+    m[4 * i + 3] = _mm512_castpd_ps(_mm512_unpackhi_pd(
+        _mm512_castps_pd(t[4 * i + 1]), _mm512_castps_pd(t[4 * i + 3])));
+  }
+  for (int i = 0; i < 4; ++i) {
+    t[i] = _mm512_shuffle_f32x4(m[i], m[i + 4], 0x88);
+    t[i + 4] = _mm512_shuffle_f32x4(m[i], m[i + 4], 0xdd);
+    t[i + 8] = _mm512_shuffle_f32x4(m[i + 8], m[i + 12], 0x88);
+    t[i + 12] = _mm512_shuffle_f32x4(m[i + 8], m[i + 12], 0xdd);
+  }
+  for (int i = 0; i < 4; ++i) {
+    m[i] = _mm512_shuffle_f32x4(t[i], t[i + 8], 0x88);
+    m[i + 4] = _mm512_shuffle_f32x4(t[i + 4], t[i + 12], 0x88);
+    m[i + 8] = _mm512_shuffle_f32x4(t[i], t[i + 8], 0xdd);
+    m[i + 12] = _mm512_shuffle_f32x4(t[i + 4], t[i + 12], 0xdd);
+  }
+}
+#endif
 
 inline Vec3f shade_pixel(Vec3f n, Vec3f l, Vec3f view, Vec3f color, float ambient,
                          float diffuse, float specular) {
@@ -188,6 +258,24 @@ int aae_mesh_register(const double* vertices, const double* normals,
     std::fill(m.colors.begin(), m.colors.end(), 160.0f / 255.0f);
   }
   m.faces.assign(faces, faces + 3 * n_faces);
+  if (n_vertices > 0) {
+    const int n_pad = (n_vertices + 7) & ~7;
+    m.vx.resize(n_pad); m.vy.resize(n_pad); m.vz.resize(n_pad);
+    m.nx.resize(n_pad); m.ny.resize(n_pad); m.nz.resize(n_pad);
+    m.cr.resize(n_pad); m.cg.resize(n_pad); m.cb.resize(n_pad);
+    for (int i = 0; i < n_pad; ++i) {
+      const int j = std::min(i, n_vertices - 1);
+      m.vx[i] = m.verts[3 * j];
+      m.vy[i] = m.verts[3 * j + 1];
+      m.vz[i] = m.verts[3 * j + 2];
+      m.nx[i] = m.normals[3 * j];
+      m.ny[i] = m.normals[3 * j + 1];
+      m.nz[i] = m.normals[3 * j + 2];
+      m.cr[i] = m.colors[3 * j];
+      m.cg[i] = m.colors[3 * j + 1];
+      m.cb[i] = m.colors[3 * j + 2];
+    }
+  }
   if (mesh_is_closed_manifold(m.faces, n_faces, n_vertices)) {
     m.cull_sign = detect_front_winding(m);
   }
@@ -196,6 +284,15 @@ int aae_mesh_register(const double* vertices, const double* normals,
 }
 
 void aae_mesh_clear() { g_meshes.clear(); }
+
+void aae_prof_enable(int on) {
+  g_prof_on = on != 0;
+  if (on) g_prof[0] = g_prof[1] = g_prof[2] = g_prof[3] = 0.0;
+}
+
+void aae_prof_get(double* out4) {
+  for (int i = 0; i < 4; ++i) out4[i] = g_prof[i];
+}
 
 // Render mesh `mesh_id`; out_bgr is H*W*3 uint8, out_depth H*W float32 —
 // both MUST be zero-initialized by the caller (numpy allocates with zeros).
@@ -225,11 +322,142 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
   }
 
   // ---- vertex stage (+ projected screen bbox of the whole object)
-  std::vector<VertexAttr> va(m.n_verts);
+  // SoA mesh + 8-wide f64 transform/projection (one vdivpd per 8 verts) and
+  // 8-wide f32 shading varyings; results interleave into the AoS attribute
+  // buffers the face/span stages read (random access per face index -> AoS
+  // keeps that to 1-2 cache lines per vertex). Buffers persist per thread.
+  auto prof_t = prof_now();
+  static thread_local std::vector<VGeo> geo_buf;
+  static thread_local std::vector<VShade> shade_buf;
+  const int nv_pad = (m.n_verts + 7) & ~7;
+  if (static_cast<int>(geo_buf.size()) < nv_pad) {
+    geo_buf.resize(nv_pad);
+    shade_buf.resize(nv_pad);
+  }
+  VGeo* const geo = geo_buf.data();
+  VShade* const shade = shade_buf.data();
   const Vec3f light = {static_cast<float>(light_pos[0]),
                        static_cast<float>(light_pos[1]),
                        static_cast<float>(light_pos[2])};
   double obj_u0 = 1e300, obj_u1 = -1e300, obj_v0 = 1e300, obj_v1 = -1e300;
+#if defined(AAE_AVX512)
+  {
+    const __m512d R0 = _mm512_set1_pd(R[0]), R1 = _mm512_set1_pd(R[1]),
+                  R2 = _mm512_set1_pd(R[2]), R3 = _mm512_set1_pd(R[3]),
+                  R4 = _mm512_set1_pd(R[4]), R5 = _mm512_set1_pd(R[5]),
+                  R6 = _mm512_set1_pd(R[6]), R7 = _mm512_set1_pd(R[7]),
+                  R8 = _mm512_set1_pd(R[8]);
+    const __m512d T0 = _mm512_set1_pd(t[0]), T1 = _mm512_set1_pd(t[1]),
+                  T2 = _mm512_set1_pd(t[2]);
+    const __m512d Kf0 = _mm512_set1_pd(K[0]), Kf1 = _mm512_set1_pd(K[1]),
+                  Kc2 = _mm512_set1_pd(K[2]), Kf4 = _mm512_set1_pd(K[4]),
+                  Kc5 = _mm512_set1_pd(K[5]);
+    const __m512d epsd = _mm512_set1_pd(1e-9), oned = _mm512_set1_pd(1.0);
+    __m512d ulo = _mm512_set1_pd(1e300), uhi = _mm512_set1_pd(-1e300);
+    __m512d vlo = _mm512_set1_pd(1e300), vhi = _mm512_set1_pd(-1e300);
+    const __m256 lx8 = _mm256_set1_ps(light.x), ly8 = _mm256_set1_ps(light.y),
+                 lz8 = _mm256_set1_ps(light.z);
+    const __m256 half8 = _mm256_set1_ps(0.5f),
+                 threehalf8 = _mm256_set1_ps(1.5f),
+                 tiny8 = _mm256_set1_ps(1e-24f), zero8 = _mm256_setzero_ps();
+    // 8-wide twin of normalize(): rsqrt estimate + one Newton step (same
+    // hardware table as the scalar _mm_rsqrt_ss path)
+    auto norm3 = [&](__m256& x, __m256& y, __m256& z) {
+      const __m256 n2 =
+          _mm256_fmadd_ps(x, x, _mm256_fmadd_ps(y, y, _mm256_mul_ps(z, z)));
+      __m256 r = _mm256_rsqrt_ps(n2);
+      r = _mm256_mul_ps(r, _mm256_fnmadd_ps(_mm256_mul_ps(half8, n2),
+                                            _mm256_mul_ps(r, r), threehalf8));
+      r = _mm256_and_ps(r, _mm256_cmp_ps(n2, tiny8, _CMP_GT_OQ));
+      x = _mm256_mul_ps(x, r);
+      y = _mm256_mul_ps(y, r);
+      z = _mm256_mul_ps(z, r);
+    };
+    for (int i = 0; i < nv_pad; i += 8) {
+      const __m512d px = _mm512_loadu_pd(&m.vx[i]);
+      const __m512d py = _mm512_loadu_pd(&m.vy[i]);
+      const __m512d pz = _mm512_loadu_pd(&m.vz[i]);
+      const __m512d x = _mm512_fmadd_pd(
+          R0, px, _mm512_fmadd_pd(R1, py, _mm512_fmadd_pd(R2, pz, T0)));
+      const __m512d y = _mm512_fmadd_pd(
+          R3, px, _mm512_fmadd_pd(R4, py, _mm512_fmadd_pd(R5, pz, T1)));
+      const __m512d z = _mm512_fmadd_pd(
+          R6, px, _mm512_fmadd_pd(R7, py, _mm512_fmadd_pd(R8, pz, T2)));
+      const __mmask8 valid = _mm512_cmp_pd_mask(z, epsd, _CMP_GT_OQ);
+      const __m512d iz = _mm512_maskz_div_pd(valid, oned, z);
+      const __m512d u = _mm512_maskz_fmadd_pd(
+          valid, _mm512_fmadd_pd(Kf0, x, _mm512_mul_pd(Kf1, y)), iz, Kc2);
+      const __m512d v =
+          _mm512_maskz_fmadd_pd(valid, _mm512_mul_pd(Kf4, y), iz, Kc5);
+      ulo = _mm512_mask_min_pd(ulo, valid, ulo, u);
+      uhi = _mm512_mask_max_pd(uhi, valid, uhi, u);
+      vlo = _mm512_mask_min_pd(vlo, valid, vlo, v);
+      vhi = _mm512_mask_max_pd(vhi, valid, vhi, v);
+      alignas(64) double tu[8], tv[8], tz[8], tiz[8];
+      _mm512_store_pd(tu, u);
+      _mm512_store_pd(tv, v);
+      _mm512_store_pd(tz, z);
+      _mm512_store_pd(tiz, iz);
+      const __m512d nxd = _mm512_loadu_pd(&m.nx[i]);
+      const __m512d nyd = _mm512_loadu_pd(&m.ny[i]);
+      const __m512d nzd = _mm512_loadu_pd(&m.nz[i]);
+      __m256 ngx = _mm512_cvtpd_ps(_mm512_fmadd_pd(
+          R0, nxd, _mm512_fmadd_pd(R1, nyd, _mm512_mul_pd(R2, nzd))));
+      __m256 ngy = _mm512_cvtpd_ps(_mm512_fmadd_pd(
+          R3, nxd, _mm512_fmadd_pd(R4, nyd, _mm512_mul_pd(R5, nzd))));
+      __m256 ngz = _mm256_sub_ps(zero8, _mm512_cvtpd_ps(_mm512_fmadd_pd(
+          R6, nxd, _mm512_fmadd_pd(R7, nyd, _mm512_mul_pd(R8, nzd)))));
+      norm3(ngx, ngy, ngz);
+      const __m256 xf = _mm512_cvtpd_ps(x);
+      const __m256 yf = _mm512_cvtpd_ps(y);
+      const __m256 zf = _mm512_cvtpd_ps(z);
+      __m256 lxv = _mm256_sub_ps(lx8, xf);
+      __m256 lyv = _mm256_sub_ps(ly8, yf);
+      __m256 lzv = _mm256_add_ps(lz8, zf);  // light.z - (-z)
+      norm3(lxv, lyv, lzv);
+      alignas(32) float sn[9][8];
+      _mm256_store_ps(sn[0], ngx);
+      _mm256_store_ps(sn[1], ngy);
+      _mm256_store_ps(sn[2], ngz);
+      _mm256_store_ps(sn[3], lxv);
+      _mm256_store_ps(sn[4], lyv);
+      _mm256_store_ps(sn[5], lzv);
+      _mm256_store_ps(sn[6], _mm256_sub_ps(zero8, xf));
+      _mm256_store_ps(sn[7], _mm256_sub_ps(zero8, yf));
+      _mm256_store_ps(sn[8], zf);
+      const int lim = std::min(8, m.n_verts - i);
+      for (int k = 0; k < lim; ++k) {
+        VGeo& g = geo[i + k];
+        g.u = tu[k];
+        g.v = tv[k];
+        g.z = tz[k];
+        g.inv_z = tiz[k];
+        float* s = shade[i + k].a;
+        s[0] = sn[0][k];
+        s[1] = sn[1][k];
+        s[2] = sn[2][k];
+        s[3] = sn[3][k];
+        s[4] = sn[4][k];
+        s[5] = sn[5][k];
+        s[6] = sn[6][k];
+        s[7] = sn[7][k];
+        s[8] = sn[8][k];
+        s[9] = m.cr[i + k];
+        s[10] = m.cg[i + k];
+        s[11] = m.cb[i + k];
+      }
+    }
+    alignas(64) double red[8];
+    _mm512_store_pd(red, ulo);
+    for (int k = 0; k < 8; ++k) obj_u0 = std::min(obj_u0, red[k]);
+    _mm512_store_pd(red, uhi);
+    for (int k = 0; k < 8; ++k) obj_u1 = std::max(obj_u1, red[k]);
+    _mm512_store_pd(red, vlo);
+    for (int k = 0; k < 8; ++k) obj_v0 = std::min(obj_v0, red[k]);
+    _mm512_store_pd(red, vhi);
+    for (int k = 0; k < 8; ++k) obj_v1 = std::max(obj_v1, red[k]);
+  }
+#else
 #pragma omp parallel for schedule(static) \
     reduction(min : obj_u0, obj_v0) reduction(max : obj_u1, obj_v1)
   for (int i = 0; i < m.n_verts; ++i) {
@@ -237,16 +465,16 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     double x = R[0] * p[0] + R[1] * p[1] + R[2] * p[2] + t[0];
     double y = R[3] * p[0] + R[4] * p[1] + R[5] * p[2] + t[1];
     double z = R[6] * p[0] + R[7] * p[1] + R[8] * p[2] + t[2];
-    VertexAttr& a = va[i];
-    a.valid = z > 1e-9;
+    VGeo& a = geo[i];
+    const bool valid = z > 1e-9;
     a.z = z;
-    a.inv_z = a.valid ? 1.0 / z : 0.0;
+    a.inv_z = valid ? 1.0 / z : 0.0;
     // projection reuses inv_z instead of two more ~13-cycle f64 divisions
     // (vs the numpy backend's /z this shifts u,v by <=1 ulp — boundary-pixel
     // effects only, inside the agreement tolerances)
-    a.u = a.valid ? (K[0] * x + K[1] * y) * a.inv_z + K[2] : 0.0;
-    a.v = a.valid ? (K[4] * y) * a.inv_z + K[5] : 0.0;
-    if (a.valid) {
+    a.u = valid ? (K[0] * x + K[1] * y) * a.inv_z + K[2] : 0.0;
+    a.v = valid ? (K[4] * y) * a.inv_z + K[5] : 0.0;
+    if (valid) {
       obj_u0 = std::min(obj_u0, a.u);
       obj_u1 = std::max(obj_u1, a.u);
       obj_v0 = std::min(obj_v0, a.v);
@@ -256,15 +484,23 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     Vec3f n_gl = {static_cast<float>(R[0] * n[0] + R[1] * n[1] + R[2] * n[2]),
                   static_cast<float>(R[3] * n[0] + R[4] * n[1] + R[5] * n[2]),
                   static_cast<float>(-(R[6] * n[0] + R[7] * n[1] + R[8] * n[2]))};
-    a.n = normalize(n_gl);
+    const Vec3f nn = normalize(n_gl);
     Vec3f p_gl = {static_cast<float>(x), static_cast<float>(y),
                   static_cast<float>(-z)};
-    a.l = normalize(light - p_gl);
-    a.view = {static_cast<float>(-x), static_cast<float>(-y),
-              static_cast<float>(z)};
-    a.color = {m.colors[3 * i], m.colors[3 * i + 1], m.colors[3 * i + 2]};
+    const Vec3f ll = normalize(light - p_gl);
+    float* s = shade[i].a;
+    s[0] = nn.x; s[1] = nn.y; s[2] = nn.z;
+    s[3] = ll.x; s[4] = ll.y; s[5] = ll.z;
+    s[6] = static_cast<float>(-x);
+    s[7] = static_cast<float>(-y);
+    s[8] = static_cast<float>(z);
+    s[9] = m.colors[3 * i];
+    s[10] = m.colors[3 * i + 1];
+    s[11] = m.colors[3 * i + 2];
   }
+#endif
 
+  prof_add(0, prof_t);
   // object's clamped screen bbox — all frame-sized work happens inside it
   const int bb_x0 = std::max(static_cast<int>(std::floor(obj_u0 - 1.0)), 0);
   const int bb_x1 = std::min(static_cast<int>(std::ceil(obj_u1 + 1.0)), W - 1);
@@ -286,6 +522,7 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
   // BEFORE the (expensive) shading stage. Output-identical — the z-buffer
   // decides visibility either way, so an approximate O(n) bucket sort on
   // quantized z is enough (std::sort costs ~0.4 ms at 5k faces).
+  prof_t = prof_now();
   std::vector<int32_t> face_order(m.n_faces);
   {
     constexpr int kBuckets = 256;
@@ -293,7 +530,7 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     float z_lo = 1e30f, z_hi = -1e30f;
     for (int fi = 0; fi < m.n_faces; ++fi) {
       const int32_t* f = &m.faces[3 * fi];
-      const float z = static_cast<float>(va[f[0]].z + va[f[1]].z + va[f[2]].z);
+      const float z = static_cast<float>(geo[f[0]].z + geo[f[1]].z + geo[f[2]].z);
       fz[fi] = z;
       z_lo = std::min(z_lo, z);
       z_hi = std::max(z_hi, z);
@@ -313,6 +550,8 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     }
   }
 
+  prof_add(1, prof_t);
+  prof_t = prof_now();
   // ---- raster stage: each thread owns a band of rows
   const double inv_near = 1.0 / std::max(near_p, 1e-30);
   const double inv_far = 1.0 / std::max(far_p, 1e-30);
@@ -331,25 +570,24 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     const int band_y1 = bb_y0 + static_cast<int>(static_cast<int64_t>(rows) * (tid + 1) / nthreads) - 1;
 
 #if defined(AAE_AVX512)
-    // Deferred shading: the span loop interpolates the 12 shading varyings
-    // inline (the three vertex attribute sets are register/L1-hot right
-    // after the coverage test — re-fetching them in a later pass costs more
-    // than the interpolation itself) and appends them to SoA arrays; the
-    // latency-chained part of Phong (three normalizes + dots + byte
-    // conversion) runs afterwards 16-wide across survivors, where vector
-    // ILP breaks the rsqrt dependency chains. Shading survivors in record
-    // order reproduces immediate-mode output exactly (later faces
+    // Deferred shading: each survivor records its 12 interpolated varyings
+    // as ONE aligned 64 B row (three 16-wide FMAs over the face's hoisted
+    // VShade lines + one store — the round-2 version did 36 scalar FMAs and
+    // 13 scattered stores here); the latency-chained part of Phong (three
+    // normalizes + dots + byte conversion) runs afterwards 16-wide across
+    // survivors via an in-register 16x16 transpose. Shading survivors in
+    // record order reproduces immediate-mode output exactly (later faces
     // overwrite, as the scalar path's in-place writes do). Per-thread
     // buffers: bands are disjoint pixel sets. NB: with ~4 px triangles,
     // per-face SIMD cannot win — vectorizing ACROSS survivors is what pays.
     static thread_local std::vector<int32_t> sv_idx;
-    static thread_local std::vector<float> so[12];
+    static thread_local std::vector<VShade> sv_attr;
     size_t sv_n = 0;
     auto sv_reserve = [&](size_t extra) {
       if (sv_n + extra > sv_idx.size()) {
         const size_t ns = std::max(sv_n + extra, sv_idx.size() * 2 + 4096);
         sv_idx.resize(ns);
-        for (int q = 0; q < 12; ++q) so[q].resize(ns);
+        sv_attr.resize(ns);
       }
     };
 #endif
@@ -357,10 +595,10 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     for (int oi = 0; oi < m.n_faces; ++oi) {
       const int fi = face_order[oi];
       const int32_t* f = &m.faces[3 * fi];
-      const VertexAttr& a0 = va[f[0]];
-      const VertexAttr& a1 = va[f[1]];
-      const VertexAttr& a2 = va[f[2]];
-      if (!(a0.valid && a1.valid && a2.valid)) continue;
+      const VGeo& a0 = geo[f[0]];
+      const VGeo& a1 = geo[f[1]];
+      const VGeo& a2 = geo[f[2]];
+      if (!(a0.z > 1e-9 && a1.z > 1e-9 && a2.z > 1e-9)) continue;
 
       const double area = (a1.u - a0.u) * (a2.v - a0.v) - (a1.v - a0.v) * (a2.u - a0.u);
       if (std::fabs(area) < 1e-12) continue;
@@ -369,13 +607,15 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
       // wound meshes skipping those faces is output-identical (they always
       // lose the depth test to a front face). cull_sign==0 disables.
       if (area * cull_sign > 0.0) continue;
-      const double inv_area = 1.0 / area;
 
       int x_min = std::max(static_cast<int>(std::floor(std::min({a0.u, a1.u, a2.u}) - 0.5)), 0);
       int x_max = std::min(static_cast<int>(std::ceil(std::max({a0.u, a1.u, a2.u}) - 0.5)), W - 1);
       int y_min = std::max(static_cast<int>(std::floor(std::min({a0.v, a1.v, a2.v}) - 0.5)), band_y0);
       int y_max = std::min(static_cast<int>(std::ceil(std::max({a0.v, a1.v, a2.v}) - 0.5)), band_y1);
       if (x_min > x_max || y_min > y_max) continue;
+      // the ~13-cycle f64 division only runs for faces that survive every
+      // cheap reject above
+      const double inv_area = 1.0 / area;
 
       // barycentric weights are affine in pixel coords: evaluate at the
       // corner once, then step. w0(gx,gy) = (A0 + B0*gx + C0*gy) * inv_area
@@ -388,49 +628,76 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
       const double A1 = (a2.v * a0.u - a2.u * a0.v) * inv_area;
 
 #if defined(AAE_AVX512)
+      // the face's three shading lines stay in registers for the whole span
+      const __m512 S0 = _mm512_load_ps(shade[f[0]].a);
+      const __m512 S1 = _mm512_load_ps(shade[f[1]].a);
+      const __m512 S2 = _mm512_load_ps(shade[f[2]].a);
       const double gx0 = x_min + 0.5;
+      // 8-wide row scan: coverage + depth + near/far tests in f64 vectors,
+      // masked depth store, then scalar record per surviving lane (ascending
+      // px -> identical record order to the scalar loop). The typical row is
+      // ~5 slots wide, so one vector iteration replaces the whole row.
+      const __m512d lane = _mm512_set_pd(7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0, 0.0);
+      const __m512d vB0l = _mm512_mul_pd(_mm512_set1_pd(B0), lane);
+      const __m512d vB1l = _mm512_mul_pd(_mm512_set1_pd(B1), lane);
+      const __m512d iv0 = _mm512_set1_pd(a0.inv_z);
+      const __m512d iv1 = _mm512_set1_pd(a1.inv_z);
+      const __m512d iv2 = _mm512_set1_pd(a2.inv_z);
+      const __m512d vfar = _mm512_set1_pd(inv_far);
+      const __m512d vnear = _mm512_set1_pd(inv_near);
+      const __m512d zerod = _mm512_setzero_pd();
+      const __m512d onedd = _mm512_set1_pd(1.0);
       for (int py = y_min; py <= y_max; ++py) {
         const double gy = py + 0.5;
-        double w0 = -A0 - B0 * gx0 - C0 * gy;
-        double w1 = -A1 - B1 * gx0 - C1 * gy;
+        const double w0s = -A0 - B0 * gx0 - C0 * gy;
+        const double w1s = -A1 - B1 * gx0 - C1 * gy;
         const size_t row = static_cast<size_t>(py) * W;
         sv_reserve(static_cast<size_t>(x_max - x_min) + 1);
-        // row coverage is an interval (each w is a monotone sequence under
-        // the incremental update, so crosses 0 at most once): after the
-        // first covered pixel, the first rejection ends the row.
-        // (An analytic per-row interval-entry variant was measured SLOWER:
-        // the 3 reciprocals/face + branchy bound math cost more than the
-        // ~7x slot overscan it avoids at these ~4 px triangle sizes.)
-        bool entered = false;
-        for (int px = x_min; px <= x_max; ++px, w0 -= B0, w1 -= B1) {
-          const double w2 = 1.0 - w0 - w1;
-          if (w0 < 0.0 || w1 < 0.0 || w2 < 0.0) {
-            if (entered) break;
-            continue;
+        for (int px = x_min; px <= x_max; px += 8) {
+          const int rem = x_max - px + 1;
+          const __mmask8 inb = rem >= 8 ? static_cast<__mmask8>(0xFF)
+                                        : static_cast<__mmask8>((1u << rem) - 1);
+          const double off = static_cast<double>(px - x_min);
+          const __m512d w0v =
+              _mm512_sub_pd(_mm512_set1_pd(w0s - B0 * off), vB0l);
+          const __m512d w1v =
+              _mm512_sub_pd(_mm512_set1_pd(w1s - B1 * off), vB1l);
+          const __m512d w2v =
+              _mm512_sub_pd(_mm512_sub_pd(onedd, w0v), w1v);
+          __mmask8 cov = inb & _mm512_cmp_pd_mask(w0v, zerod, _CMP_GE_OQ) &
+                         _mm512_cmp_pd_mask(w1v, zerod, _CMP_GE_OQ) &
+                         _mm512_cmp_pd_mask(w2v, zerod, _CMP_GE_OQ);
+          if (!cov) continue;
+          const __m512d izv = _mm512_fmadd_pd(
+              w0v, iv0, _mm512_fmadd_pd(w1v, iv1, _mm512_mul_pd(w2v, iv2)));
+          const __m512d dold = _mm512_maskz_loadu_pd(cov, &dbuf[row + px]);
+          cov &= _mm512_cmp_pd_mask(izv, dold, _CMP_GT_OQ) &
+                 _mm512_cmp_pd_mask(izv, vfar, _CMP_GE_OQ) &
+                 _mm512_cmp_pd_mask(izv, vnear, _CMP_LE_OQ);
+          if (!cov) continue;
+          _mm512_mask_storeu_pd(&dbuf[row + px], cov, izv);
+          alignas(64) double w0a[8], w1a[8], w2a[8], iza[8];
+          _mm512_store_pd(w0a, w0v);
+          _mm512_store_pd(w1a, w1v);
+          _mm512_store_pd(w2a, w2v);
+          _mm512_store_pd(iza, izv);
+          unsigned mask = cov;
+          while (mask) {
+            const int b = __builtin_ctz(mask);
+            mask &= mask - 1;
+            // ~22-bit reciprocal: the c's only feed f32 shading, rounded
+            // to the 1/255 color quantum
+            const float rec = rcp_fast(static_cast<float>(iza[b]));
+            const float c0 = static_cast<float>(w0a[b] * a0.inv_z) * rec;
+            const float c1 = static_cast<float>(w1a[b] * a1.inv_z) * rec;
+            const float c2 = static_cast<float>(w2a[b] * a2.inv_z) * rec;
+            __m512 attr = _mm512_mul_ps(_mm512_set1_ps(c0), S0);
+            attr = _mm512_fmadd_ps(_mm512_set1_ps(c1), S1, attr);
+            attr = _mm512_fmadd_ps(_mm512_set1_ps(c2), S2, attr);
+            sv_idx[sv_n] = static_cast<int32_t>(row + px + b);
+            _mm512_store_ps(sv_attr[sv_n].a, attr);
+            ++sv_n;
           }
-          entered = true;
-          const double iz = w0 * a0.inv_z + w1 * a1.inv_z + w2 * a2.inv_z;
-          const size_t idx = row + px;
-          if (iz <= dbuf[idx] || iz < inv_far || iz > inv_near) continue;
-          dbuf[idx] = iz;
-          const double rec = 1.0 / iz;
-          const float c0 = static_cast<float>(w0 * a0.inv_z * rec);
-          const float c1 = static_cast<float>(w1 * a1.inv_z * rec);
-          const float c2 = static_cast<float>(w2 * a2.inv_z * rec);
-          sv_idx[sv_n] = static_cast<int32_t>(idx);
-          so[0][sv_n] = c0 * a0.n.x + c1 * a1.n.x + c2 * a2.n.x;
-          so[1][sv_n] = c0 * a0.n.y + c1 * a1.n.y + c2 * a2.n.y;
-          so[2][sv_n] = c0 * a0.n.z + c1 * a1.n.z + c2 * a2.n.z;
-          so[3][sv_n] = c0 * a0.l.x + c1 * a1.l.x + c2 * a2.l.x;
-          so[4][sv_n] = c0 * a0.l.y + c1 * a1.l.y + c2 * a2.l.y;
-          so[5][sv_n] = c0 * a0.l.z + c1 * a1.l.z + c2 * a2.l.z;
-          so[6][sv_n] = c0 * a0.view.x + c1 * a1.view.x + c2 * a2.view.x;
-          so[7][sv_n] = c0 * a0.view.y + c1 * a1.view.y + c2 * a2.view.y;
-          so[8][sv_n] = c0 * a0.view.z + c1 * a1.view.z + c2 * a2.view.z;
-          so[9][sv_n] = c0 * a0.color.x + c1 * a1.color.x + c2 * a2.color.x;
-          so[10][sv_n] = c0 * a0.color.y + c1 * a1.color.y + c2 * a2.color.y;
-          so[11][sv_n] = c0 * a0.color.z + c1 * a1.color.z + c2 * a2.color.z;
-          ++sv_n;
         }
       }
 #else
@@ -462,16 +729,20 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
           dbuf[idx] = iz;
 
           // perspective-correct varying interpolation (float: shading only)
-          const double rec = 1.0 / iz;
-          const float c0 = static_cast<float>(w0 * a0.inv_z * rec);
-          const float c1 = static_cast<float>(w1 * a1.inv_z * rec);
-          const float c2 = static_cast<float>(w2 * a2.inv_z * rec);
-          Vec3f n = c0 * a0.n + c1 * a1.n + c2 * a2.n;
-          Vec3f l = c0 * a0.l + c1 * a1.l + c2 * a2.l;
-          Vec3f view = c0 * a0.view + c1 * a1.view + c2 * a2.view;
-          Vec3f col = c0 * a0.color + c1 * a1.color + c2 * a2.color;
-
-          Vec3f rgb = shade_pixel(n, l, view, col, amb, dif, spec);
+          const float rec = rcp_fast(static_cast<float>(iz));
+          const float c0 = static_cast<float>(w0 * a0.inv_z) * rec;
+          const float c1 = static_cast<float>(w1 * a1.inv_z) * rec;
+          const float c2 = static_cast<float>(w2 * a2.inv_z) * rec;
+          const float* s0 = shade[f[0]].a;
+          const float* s1 = shade[f[1]].a;
+          const float* s2 = shade[f[2]].a;
+          auto lerp3 = [&](int q) -> Vec3f {
+            return {c0 * s0[q] + c1 * s1[q] + c2 * s2[q],
+                    c0 * s0[q + 1] + c1 * s1[q + 1] + c2 * s2[q + 1],
+                    c0 * s0[q + 2] + c1 * s1[q + 2] + c2 * s2[q + 2]};
+          };
+          Vec3f rgb = shade_pixel(lerp3(0), lerp3(3), lerp3(6), lerp3(9),
+                                  amb, dif, spec);
           out_bgr[3 * idx + 0] = static_cast<uint8_t>(std::lround(rgb.z * 255.0f));
           out_bgr[3 * idx + 1] = static_cast<uint8_t>(std::lround(rgb.y * 255.0f));
           out_bgr[3 * idx + 2] = static_cast<uint8_t>(std::lround(rgb.x * 255.0f));
@@ -509,21 +780,18 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
 
       for (size_t i = 0; i < sv_n; i += 16) {
         const size_t rem = sv_n - i;
-        const __mmask16 k =
-            rem >= 16 ? static_cast<__mmask16>(0xFFFF)
-                      : static_cast<__mmask16>((1u << rem) - 1);
-        __m512 Nx = _mm512_maskz_loadu_ps(k, &so[0][i]);
-        __m512 Ny = _mm512_maskz_loadu_ps(k, &so[1][i]);
-        __m512 Nz = _mm512_maskz_loadu_ps(k, &so[2][i]);
-        __m512 Lx = _mm512_maskz_loadu_ps(k, &so[3][i]);
-        __m512 Ly = _mm512_maskz_loadu_ps(k, &so[4][i]);
-        __m512 Lz = _mm512_maskz_loadu_ps(k, &so[5][i]);
-        __m512 Vx = _mm512_maskz_loadu_ps(k, &so[6][i]);
-        __m512 Vy = _mm512_maskz_loadu_ps(k, &so[7][i]);
-        __m512 Vz = _mm512_maskz_loadu_ps(k, &so[8][i]);
-        const __m512 colr = _mm512_maskz_loadu_ps(k, &so[9][i]);
-        const __m512 colg = _mm512_maskz_loadu_ps(k, &so[10][i]);
-        const __m512 colb = _mm512_maskz_loadu_ps(k, &so[11][i]);
+        const size_t n_lane = rem >= 16 ? 16 : rem;
+        // AoS survivor rows -> SoA lanes in registers; tail lanes duplicate
+        // the last survivor (their outputs are never scattered)
+        __m512 rows[16];
+        for (size_t j = 0; j < 16; ++j) {
+          rows[j] = _mm512_load_ps(sv_attr[i + (j < n_lane ? j : n_lane - 1)].a);
+        }
+        transpose16(rows);
+        __m512 Nx = rows[0], Ny = rows[1], Nz = rows[2];
+        __m512 Lx = rows[3], Ly = rows[4], Lz = rows[5];
+        __m512 Vx = rows[6], Vy = rows[7], Vz = rows[8];
+        const __m512 colr = rows[9], colg = rows[10], colb = rows[11];
         vnormalize(Nx, Ny, Nz);
         vnormalize(Lx, Ly, Lz);
         vnormalize(Vx, Vy, Vz);
@@ -550,7 +818,6 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
         _mm512_store_si512(reinterpret_cast<__m512i*>(rr), to_byte(colr));
         _mm512_store_si512(reinterpret_cast<__m512i*>(gg), to_byte(colg));
         _mm512_store_si512(reinterpret_cast<__m512i*>(bbv), to_byte(colb));
-        const size_t n_lane = rem >= 16 ? 16 : rem;
         for (size_t j = 0; j < n_lane; ++j) {
           const size_t idx = static_cast<size_t>(sv_idx[i + j]);
           out_bgr[3 * idx + 0] = static_cast<uint8_t>(bbv[j]);
@@ -562,6 +829,8 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
 #endif
   }
 
+  prof_add(2, prof_t);
+  prof_t = prof_now();
   int px_x0 = W, px_x1 = -1, px_y0 = H, px_y1 = -1;
 #if defined(AAE_AVX512)
   {
@@ -603,6 +872,7 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     }
   }
 #endif
+  prof_add(3, prof_t);
   if (out_px_bbox && px_x1 >= 0) {
     out_px_bbox[0] = px_x0;
     out_px_bbox[1] = px_y0;

@@ -241,6 +241,35 @@ def plot_nearest_neighbors(rows: Sequence[Sequence[np.ndarray]], out_dir: str) -
     return path
 
 
+def plot_scene_with_3d_boxes(
+    scene_img: np.ndarray,
+    K: np.ndarray,
+    vert_min: Sequence[float],
+    vert_max: Sequence[float],
+    est_poses: Sequence,
+    out_path: str,
+    gt_poses: Sequence = (),
+) -> str:
+    """Scene with projected 3D bounding boxes of the estimates (green) and
+    optionally the GT poses (blue) — reference eval_plots.py:92-207, which
+    drove the GL box3d_renderer and cv2.imshow; here the box edges come
+    from visualization/box3d's projected-line drawing and the figure is
+    written to disk. Poses are (R (3,3), t (3)) pairs."""
+    from ..visualization.box3d import draw_box3d
+
+    img = np.asarray(scene_img)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    for R, t in gt_poses:
+        img = draw_box3d(img, vert_min, vert_max, K, R, t, color=(255, 80, 0))
+    for R, t in est_poses:
+        img = draw_box3d(img, vert_min, vert_max, K, R, t, color=(0, 255, 0))
+    plt = _plt()
+    plt.imsave(out_path, img[..., ::-1])  # BGR scene -> RGB file
+    return out_path
+
+
 def _save_float_image(img: np.ndarray, path: str) -> None:
     plt = _plt()
     arr = np.clip(np.asarray(img, np.float64), 0.0, 1.0)

@@ -231,3 +231,22 @@ class TestAnalysisPlots:
         rows = [[rng.rand(16, 16, 3) for _ in range(9)] for _ in range(4)]
         plots.plot_nearest_neighbors(rows, str(tmp_path))
         assert (tmp_path / "nearest_neighbors.png").exists()
+
+    def test_scene_with_3d_boxes(self, tmp_path):
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        scene = np.zeros((68, 90, 3), np.uint8)
+        K = np.array([[100.0, 0, 45], [0, 100.0, 34], [0, 0, 1]])
+        pose = (np.eye(3), np.array([0.0, 0.0, 300.0]))
+        out = str(tmp_path / "scene_boxes.png")
+        p = plots.plot_scene_with_3d_boxes(
+            scene, K, [-30, -30, -30], [30, 30, 30], [pose], out,
+            gt_poses=[pose],
+        )
+        assert p == out and (tmp_path / "scene_boxes.png").exists()
+        import matplotlib.image as mpimg
+
+        img = mpimg.imread(out)
+        assert img[..., 1].max() > 0.5  # green estimate edges drawn

@@ -93,7 +93,9 @@ def grouped_codebook_top1(
 
     from .nn_query import l2_normalize
 
-    q = l2_normalize(z)
+    # match the slab dtype after f32 normalization (bf16 slabs halve the
+    # kernel's HBM read; the dot still accumulates f32)
+    q = l2_normalize(z).astype(codebooks.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -130,7 +132,7 @@ def grouped_codebook_top1(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * n_pad,
-            bytes_accessed=n_pad * d * 4 + b * d * 4,
+            bytes_accessed=(n_pad + b) * d * codebooks.dtype.itemsize,
             transcendentals=0,
         ),
     )(jnp.stack([obj_id.astype(jnp.int32), jnp.asarray(n_valid, jnp.int32)]), q, codebooks)

@@ -7,12 +7,17 @@ encoder and 92,232-row codebook — reference loads them as separate TF graphs
 in one session, m3_interface/ae_pose_estimator.py:50-78, and loops
 detections one session.run at a time):
 
-  * ALL per-class encoders are stacked into one parameter pytree with a
-    leading object axis and vmapped — every class's crops encode in ONE
-    XLA dispatch (same architecture, different weights; pure MXU batching).
+  * every class's params stay device-resident; a frame dispatches ONE
+    shared compiled encode per PRESENT class (a frame rarely contains
+    more than a few of the configured classes — per-frame work is
+    O(present), not O(configured)). A round-2 all-stacked vmap variant
+    encoded every configured class every frame: at 30 classes / 3 present
+    it measured 12.4 ms/frame vs 2.75 for this design (4.5x, PERF.md).
   * all codebooks live in one HBM slab (O, N_pad, D) with true lengths
-    (ops/multi_codebook.stack_codebooks); the query is a single einsum
-    (O,B,D)x(O,N,D) -> masked argmax fused into the same dispatch.
+    (ops/multi_codebook.stack_codebooks); each present class queries it
+    through the scalar-prefetch Pallas kernel, which DMAs only that
+    object's tiles (grouped_codebook_top1) — the slab is never sliced or
+    broadcast.
   * frames pipeline: `submit()` returns a handle immediately (device work
     + async host copy in flight), `retrieve()` materializes and finishes
     the pose math on the host — so frame n+1's dispatch overlaps frame n's
@@ -35,8 +40,8 @@ from .pose.interfaces import BoundingBox, PoseEstimate
 
 @dataclasses.dataclass
 class _FrameHandle:
-    vals: object  # device array (O, B)
-    idcs: object  # device array (O, B)
+    vals: Dict[str, object]  # per present class: device array (B,)
+    idcs: Dict[str, object]  # per present class: device array (B,)
     by_class: Dict[str, List[int]]
     box_xywhs: List[Optional[List[float]]]
     bboxes: Sequence[BoundingBox]
@@ -44,15 +49,17 @@ class _FrameHandle:
     camPose: Optional[np.ndarray]
     mm: bool
     depth_img: Optional[np.ndarray] = None
-    host_crops: Optional[np.ndarray] = None  # (O, B, h, w, c) for ICP stage 2
+    host_crops: Optional[Dict[str, np.ndarray]] = None  # cls -> (B, h, w, c), ICP stage 2
 
 
 class PoseServer:
-    """Multi-class 6D pose serving over stacked encoders + codebook slab.
+    """Multi-class 6D pose serving: resident per-class encoders + one
+    codebook slab, dispatching only for classes present in each frame.
 
     Requires every configured class to share the network architecture
     (h/w/c, filters, strides, latent) — the reference's standard multi-
-    object setup. Falls back is the plain AePoseEstimator otherwise.
+    object setup (one compiled encode serves every class). Fall back to
+    the plain AePoseEstimator for heterogeneous setups.
     """
 
     def __init__(
@@ -104,8 +111,12 @@ class PoseServer:
         model_cfg.precision = self.precision  # bf16 convs, f32 latent head
         self._model = AAE.from_config(model_cfg)
 
-        # stack per-class params (leading object axis) + codebook slab
-        params_list = []
+        # per-class resident params + one codebook slab. NOT stacked: a
+        # stacked-params vmap step pays O(configured classes) encode FLOPs
+        # and HBM every frame (and doubles param memory); per-class
+        # dispatch pays O(present classes) — 4.5x faster at 30 classes
+        # with 3 present (PERF.md round 3).
+        self._params_by_class = {}
         codebooks = []
         self._viewspheres = []
         self._obj_bbs = []
@@ -116,49 +127,61 @@ class PoseServer:
             _, _, _, payload = factory.restore_experiment(
                 experiment_name, experiment_group
             )
-            params_list.append(payload["params"])
+            self._params_by_class[c] = jax.tree.map(
+                jnp.asarray, payload["params"]
+            )
             cb = self._est.all_codebooks[c]
             codebooks.append(np.asarray(cb.embedding_normalized))
             self._viewspheres.append(cb.viewsphere)
             self._obj_bbs.append(np.asarray(cb.embed_obj_bbs))
-        self._stacked_params = jax.tree.map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
-        )
         slab, lengths = stack_codebooks(codebooks)
         slab_dtype = jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
         self._slab = jnp.asarray(slab, slab_dtype)
-        self._lengths = jnp.asarray(lengths)
+        self._lengths = np.asarray(lengths)
+        # tiny device constants hoisted so submit() enqueues no host->device
+        # transfers beyond the crops themselves
+        self._obj_dev = [jnp.asarray(o, jnp.int32) for o in range(len(self.classes))]
+        self._len_dev = [jnp.asarray(int(l), jnp.int32) for l in lengths]
 
         model = self._model
 
         @jax.jit
-        def _step(stacked_params, crops, slab, lengths):
-            # crops: (O, B, H, W, C) uint8 — normalized on device so the
+        def _encode(params, crops):
+            # crops: (B, H, W, C) uint8 — normalized on device so the
             # per-frame host->HBM transfer is 4x smaller (tunnel-bound)
-            crops = crops.astype(jnp.float32) / 255.0
+            x = crops.astype(jnp.float32) / 255.0
+            return model.apply({"params": params}, x, method=model.encode)
 
-            def encode_one(p, x):
-                return model.apply({"params": p}, x, method=model.encode)
+        self._encode = _encode
+        self._on_tpu = jax.default_backend() == "tpu"
 
-            z = jax.vmap(encode_one)(stacked_params, crops)  # (O, B, D)
-            zn = z / jnp.maximum(
-                jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12
-            )
-            # bf16 slab halves the HBM traffic of the dominant query einsum;
-            # cosine scores still accumulate in f32 so ranking stays stable
-            cos = jnp.einsum(
-                "obd,ond->obn", zn.astype(slab.dtype), slab,
-                preferred_element_type=jnp.float32,
+        @jax.jit
+        def _query_xla(z, cb2d, n_valid):
+            # off-TPU fallback: direct masked matmul against one object's
+            # (sliced) slab plane; cosine accumulates f32 under bf16 slabs
+            zn = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+            cos = jnp.matmul(
+                zn.astype(cb2d.dtype), cb2d.T, preferred_element_type=jnp.float32
             )
             col = jnp.arange(cos.shape[-1], dtype=jnp.int32)
-            cos = jnp.where(
-                col[None, None, :] < lengths[:, None, None], cos, -2.0
-            )
+            cos = jnp.where(col[None, :] < n_valid, cos, -2.0)
             idcs = jnp.argmax(cos, axis=-1)
-            vals = jnp.take_along_axis(cos, idcs[..., None], axis=-1)[..., 0]
+            vals = jnp.take_along_axis(cos, idcs[:, None], axis=-1)[:, 0]
             return vals, idcs.astype(jnp.int32)
 
-        self._step = _step
+        self._query_xla = _query_xla
+
+    def _query(self, z, oi: int):
+        """Top-1 codebook match for one class: scalar-prefetch Pallas
+        kernel on TPU (DMAs only this object's slab tiles), masked matmul
+        elsewhere."""
+        if self._on_tpu:
+            from .ops.multi_codebook import grouped_codebook_top1
+
+            return grouped_codebook_top1(
+                z, self._slab, self._obj_dev[oi], self._len_dev[oi]
+            )
+        return self._query_xla(z, self._slab[oi], self._len_dev[oi])
 
     # ---------------------------------------------------------------- submit
     def submit(
@@ -189,15 +212,21 @@ class PoseServer:
             if len(by_class.setdefault(cls, [])) < self.max_dets:
                 by_class[cls].append(j)
 
-        o = len(self.classes)
-        crops = np.zeros(
-            (o, self.max_dets, self.cfg0.h, self.cfg0.w, self.cfg0.c),
-            np.uint8,
-        )
+        # one padded crop batch + one encode + one slab query PER PRESENT
+        # class — frames pay for the classes they contain, not for every
+        # configured class
+        want_icp = depth_img is not None and self._est._use_icp
+        vals: Dict[str, object] = {}
+        idcs: Dict[str, object] = {}
+        host_crops: Dict[str, np.ndarray] = {}
         for cls, det_idcs in by_class.items():
             oi = self.classes.index(cls)
+            crops = np.zeros(
+                (self.max_dets, self.cfg0.h, self.cfg0.w, self.cfg0.c),
+                np.uint8,
+            )
             for k, j in enumerate(det_idcs):
-                crops[oi, k] = extract_square_patch_centered(
+                crops[k] = extract_square_patch_centered(
                     color_img,
                     box_xywhs[j],
                     self._est.pad_factors[cls],
@@ -205,32 +234,33 @@ class PoseServer:
                     interpolation="linear",
                     black_borders=True,
                 )
-
-        vals, idcs = self._step(
-            self._stacked_params, jnp.asarray(crops), self._slab, self._lengths
-        )
-        for a in (vals, idcs):  # overlap device->host copy with later frames
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-        want_icp = depth_img is not None and self._est._use_icp
+            z = self._encode(self._params_by_class[cls], jnp.asarray(crops))
+            v, i = self._query(z, oi)
+            for a in (v, i):  # overlap device->host copy with later frames
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            vals[cls] = v
+            idcs[cls] = i
+            if want_icp:
+                host_crops[cls] = crops
         return _FrameHandle(
             vals=vals, idcs=idcs, by_class=by_class, box_xywhs=box_xywhs,
             bboxes=bboxes, camK=np.asarray(camK, np.float64),
             camPose=camPose, mm=mm,
             depth_img=depth_img if want_icp else None,
-            host_crops=crops if want_icp else None,
+            host_crops=host_crops if want_icp else None,
         )
 
     # --------------------------------------------------------------- retrieve
     def retrieve(self, h: _FrameHandle) -> List[PoseEstimate]:
         """Materialize a submitted frame and finish the pose math
         (codebook.auto_pose6d semantics, reference codebook.py:79-129)."""
-        idcs = np.asarray(h.idcs)
         results: List[Optional[PoseEstimate]] = [None] * len(h.bboxes)
         for cls, det_idcs in h.by_class.items():
             oi = self.classes.index(cls)
+            cls_idcs = np.asarray(h.idcs[cls])
             cfg = self._est.all_train_cfgs[cls]
             K_train, radius = cfg.K, cfg.radius
             K_test = h.camK
@@ -239,7 +269,7 @@ class PoseServer:
             ) / np.sqrt(K_train[0, 0] ** 2 + K_train[1, 1] ** 2)
             Rs_cls, ts_cls = [], []
             for k, j in enumerate(det_idcs):
-                idx = int(idcs[oi, k])
+                idx = int(cls_idcs[k])
                 R = self._viewspheres[oi][idx].copy()
                 rendered_bb = self._obj_bbs[oi][idx].astype(np.float64)
                 pred_bb = np.asarray(h.box_xywhs[j], np.float64)
@@ -279,7 +309,7 @@ class PoseServer:
                     depth_crops, Rs_cls, ts_cls, K_test,
                     h.depth_img.shape[:2][::-1], class_name=cls,
                     codebook=self._est.all_codebooks[cls],
-                    det_imgs=[h.host_crops[oi, k] for k in range(len(det_idcs))],
+                    det_imgs=[h.host_crops[cls][k] for k in range(len(det_idcs))],
                     det_bbs=np.stack(
                         [h.box_xywhs[j] for j in det_idcs]
                     ).astype(np.float64),

@@ -420,10 +420,10 @@ class TestEndToEnd:
             # were A/B'd at 100% agreement, scripts/bench_serving_bf16.py).
             # Same view -> identical pose; different view -> the two max
             # cosines must be within bf16 resolution of each other.
-            i32 = int(np.asarray(h32.idcs)[0, 0])
-            i16 = int(np.asarray(h16.idcs)[0, 0])
-            v32 = float(np.asarray(h32.vals)[0, 0])
-            v16 = float(np.asarray(h16.vals)[0, 0])
+            i32 = int(np.asarray(h32.idcs["sphere"])[0])
+            i16 = int(np.asarray(h16.idcs["sphere"])[0])
+            v32 = float(np.asarray(h32.vals["sphere"])[0])
+            v16 = float(np.asarray(h16.vals["sphere"])[0])
             if i16 == i32:
                 np.testing.assert_allclose(p16[0].trafo, p32[0].trafo, atol=1e-5)
             else:

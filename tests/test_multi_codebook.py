@@ -91,3 +91,40 @@ class TestMixedQuery:
             jnp.asarray(z), jnp.asarray(slab), jnp.asarray([0, 1, 0, 1])
         )
         assert (np.asarray(idcs) < 64).all()
+
+
+class TestBf16Slab:
+    def test_grouped_kernel_interpret_bf16(self):
+        """bf16 serving slab through the scalar-prefetch kernel (interpret
+        mode): f32 accumulation preserved, ranking matches the f32 slab on
+        well-separated rows."""
+        from functools import partial
+        from unittest import mock
+
+        import jax
+        from jax.experimental import pallas as pl
+
+        from augmentedautoencoder_tpu.ops.multi_codebook import (
+            grouped_codebook_top1,
+            stack_codebooks,
+        )
+
+        cbs = make_codebooks([300, 200])
+        slab, lengths = stack_codebooks(cbs, tile_n=256)
+        rng = np.random.RandomState(5)
+        z = rng.randn(6, 32).astype(np.float32)
+
+        orig = pl.pallas_call
+        with jax.disable_jit():
+            with mock.patch.object(pl, "pallas_call", partial(orig, interpret=True)):
+                vals, idcs = grouped_codebook_top1.__wrapped__(
+                    jnp.asarray(z),
+                    jnp.asarray(slab, jnp.bfloat16),
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(lengths[0], jnp.int32),
+                    tile_n=256,
+                )
+        assert vals.dtype == jnp.float32
+        zn = z / np.linalg.norm(z, axis=1, keepdims=True)
+        expect = np.argmax(zn @ cbs[0].T, axis=1)
+        np.testing.assert_array_equal(np.asarray(idcs), expect)

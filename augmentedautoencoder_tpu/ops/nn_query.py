@@ -149,3 +149,34 @@ def cosine_top1(z: Array, codebook: Array) -> Tuple[Array, Array]:
         return cosine_top1_pallas(z, codebook)
     vals, idcs = cosine_similarity_topk(z, codebook, 1)
     return vals[:, 0], idcs[:, 0]
+
+
+def make_cosine_top1_sharded(mesh, axis: str = "data"):
+    """Multi-chip codebook query: rows shard over `axis`, queries replicate.
+
+    For deployments whose resident codebooks outgrow one chip's HBM (e.g.
+    30 objects x 92,232 x 128 already ~1.4 GB f32; larger view counts or
+    object sets scale linearly), the (N, D) codebook lives row-sharded
+    across the mesh (parallel.codebook_sharding). Each device scores its
+    rows and GSPMD combines the (max, argmax) across shards over ICI — the
+    cross-device traffic is O(B) scalars, never the similarity matrix.
+
+    Returns a jitted (z, codebook) -> (vals (B,), idcs (B,)) whose codebook
+    argument must be placed with the matching row-sharded layout.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(axis, None))
+
+    @functools.partial(
+        jax.jit, in_shardings=(rep, rows), out_shardings=(rep, rep)
+    )
+    def query(z: Array, codebook: Array) -> Tuple[Array, Array]:
+        q = l2_normalize(z).astype(codebook.dtype)
+        cos = jnp.matmul(q, codebook.T, preferred_element_type=jnp.float32)
+        idx = jnp.argmax(cos, axis=1)
+        val = jnp.take_along_axis(cos, idx[:, None], axis=1)[:, 0]
+        return val, idx.astype(jnp.int32)
+
+    return query

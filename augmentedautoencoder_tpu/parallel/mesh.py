@@ -54,9 +54,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def codebook_sharding(mesh: Mesh, shard_rows: bool = False) -> NamedSharding:
-    """Codebook layout: replicated by default, row-sharded over `model`
-    for HBM-constrained many-object serving."""
+def codebook_sharding(
+    mesh: Mesh, shard_rows: bool = False, axis: str = MODEL_AXIS
+) -> NamedSharding:
+    """Codebook layout: replicated by default; row-sharded over `axis` for
+    HBM-constrained many-object serving (pair with
+    ops.nn_query.make_cosine_top1_sharded, which replicates queries and
+    lets GSPMD combine the per-shard (max, argmax) over ICI)."""
     if shard_rows:
-        return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P(axis, None))
     return NamedSharding(mesh, P())

@@ -237,3 +237,43 @@ class TestNeighborClutter:
         assert (x[:, :8, :, :] == 0).all()  # zeros bg untouched
         # and the object region carries the sample's own color
         assert (x[:, 12:20, 12:20, :] > 0).all()
+
+
+class TestShardedCodebookQuery:
+    def test_row_sharded_top1_matches_replicated(self):
+        """HBM-scale-out serving: codebook rows shard across the 8-device
+        mesh (parallel.codebook_sharding) and the sharded query returns
+        exactly the single-device result; per-device HBM holds N/8 rows."""
+        from augmentedautoencoder_tpu.ops.nn_query import (
+            cosine_similarity_topk,
+            make_cosine_top1_sharded,
+        )
+        from augmentedautoencoder_tpu.parallel import (
+            DATA_AXIS,
+            codebook_sharding,
+            make_mesh,
+        )
+
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        rng = np.random.RandomState(0)
+        cb = rng.randn(4096, 32).astype(np.float32)
+        cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+        z = rng.randn(16, 32).astype(np.float32)
+
+        cb_sharded = jax.device_put(
+            cb, codebook_sharding(mesh, shard_rows=True, axis=DATA_AXIS)
+        )
+        shard_rows = {s.data.shape[0] for s in cb_sharded.addressable_shards}
+        assert shard_rows == {4096 // 8}
+
+        query = make_cosine_top1_sharded(mesh, axis=DATA_AXIS)
+        vals, idcs = query(jnp.asarray(z), cb_sharded)
+
+        want_vals, want_idcs = cosine_similarity_topk(
+            jnp.asarray(z), jnp.asarray(cb), 1
+        )
+        np.testing.assert_array_equal(np.asarray(idcs), np.asarray(want_idcs)[:, 0])
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(want_vals)[:, 0], rtol=1e-6
+        )

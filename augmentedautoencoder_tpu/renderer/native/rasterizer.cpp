@@ -523,39 +523,58 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
   // decides visibility either way, so an approximate O(n) bucket sort on
   // quantized z is enough (std::sort costs ~0.4 ms at 5k faces).
   prof_t = prof_now();
+  // fused pre-pass: validity + backface cull + approximate front-to-back
+  // bucket order in ONE walk over the faces (u,v,z share the VGeo cache
+  // line, so the cull test is free here; the raster loop then only ever
+  // sees front faces and the bucket sort shrinks accordingly)
   std::vector<int32_t> face_order(m.n_faces);
+  int n_front = 0;
   {
     constexpr int kBuckets = 256;
-    std::vector<float> fz(m.n_faces);
+    static thread_local std::vector<int32_t> keep;
+    static thread_local std::vector<float> fz;
+    if (static_cast<int>(keep.size()) < m.n_faces) {
+      keep.resize(m.n_faces);
+      fz.resize(m.n_faces);
+    }
+    const double csign = static_cast<double>(m.cull_sign);
     float z_lo = 1e30f, z_hi = -1e30f;
     for (int fi = 0; fi < m.n_faces; ++fi) {
       const int32_t* f = &m.faces[3 * fi];
-      const float z = static_cast<float>(geo[f[0]].z + geo[f[1]].z + geo[f[2]].z);
-      fz[fi] = z;
+      const VGeo& g0 = geo[f[0]];
+      const VGeo& g1 = geo[f[1]];
+      const VGeo& g2 = geo[f[2]];
+      if (!(g0.z > 1e-9 && g1.z > 1e-9 && g2.z > 1e-9)) continue;
+      const double area =
+          (g1.u - g0.u) * (g2.v - g0.v) - (g1.v - g0.v) * (g2.u - g0.u);
+      if (std::fabs(area) < 1e-12) continue;
+      if (area * csign > 0.0) continue;
+      const float z = static_cast<float>(g0.z + g1.z + g2.z);
+      keep[n_front] = fi;
+      fz[n_front] = z;
+      ++n_front;
       z_lo = std::min(z_lo, z);
       z_hi = std::max(z_hi, z);
     }
-    const float scale =
-        z_hi > z_lo ? (kBuckets - 1) / (z_hi - z_lo) : 0.0f;
+    const float scale = z_hi > z_lo ? (kBuckets - 1) / (z_hi - z_lo) : 0.0f;
     int counts[kBuckets + 1] = {0};
-    std::vector<uint8_t> bucket_of(m.n_faces);
-    for (int fi = 0; fi < m.n_faces; ++fi) {
-      const int b = static_cast<int>((fz[fi] - z_lo) * scale);
-      bucket_of[fi] = static_cast<uint8_t>(b);
+    static thread_local std::vector<uint8_t> bucket_of;
+    if (static_cast<int>(bucket_of.size()) < n_front) bucket_of.resize(m.n_faces);
+    for (int k = 0; k < n_front; ++k) {
+      const int b = static_cast<int>((fz[k] - z_lo) * scale);
+      bucket_of[k] = static_cast<uint8_t>(b);
       ++counts[b + 1];
     }
     for (int b = 0; b < kBuckets; ++b) counts[b + 1] += counts[b];
-    for (int fi = 0; fi < m.n_faces; ++fi) {
-      face_order[counts[bucket_of[fi]]++] = fi;
+    for (int k = 0; k < n_front; ++k) {
+      face_order[counts[bucket_of[k]]++] = keep[k];
     }
   }
-
   prof_add(1, prof_t);
   prof_t = prof_now();
   // ---- raster stage: each thread owns a band of rows
   const double inv_near = 1.0 / std::max(near_p, 1e-30);
   const double inv_far = 1.0 / std::max(far_p, 1e-30);
-  const double cull_sign = static_cast<double>(m.cull_sign);
 #pragma omp parallel
   {
 #if defined(_OPENMP)
@@ -592,21 +611,18 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
     };
 #endif
 
-    for (int oi = 0; oi < m.n_faces; ++oi) {
+    for (int oi = 0; oi < n_front; ++oi) {
       const int fi = face_order[oi];
       const int32_t* f = &m.faces[3 * fi];
       const VGeo& a0 = geo[f[0]];
       const VGeo& a1 = geo[f[1]];
       const VGeo& a2 = geo[f[2]];
-      if (!(a0.z > 1e-9 && a1.z > 1e-9 && a2.z > 1e-9)) continue;
-
+      // validity / degeneracy / backface culling already decided in the
+      // fused sort pre-pass (screen area > 0 <=> winding's geometric
+      // normal points away from the camera under the OpenCV projection;
+      // for closed consistently wound meshes skipping those faces is
+      // output-identical). Area recompute here is 7 flops on L1-hot data.
       const double area = (a1.u - a0.u) * (a2.v - a0.v) - (a1.v - a0.v) * (a2.u - a0.u);
-      if (std::fabs(area) < 1e-12) continue;
-      // screen area > 0 <=> winding's geometric normal points away from the
-      // camera under the OpenCV projection (y-down); for closed consistently
-      // wound meshes skipping those faces is output-identical (they always
-      // lose the depth test to a front face). cull_sign==0 disables.
-      if (area * cull_sign > 0.0) continue;
 
       int x_min = std::max(static_cast<int>(std::floor(std::min({a0.u, a1.u, a2.u}) - 0.5)), 0);
       int x_max = std::min(static_cast<int>(std::ceil(std::max({a0.u, a1.u, a2.u}) - 0.5)), W - 1);

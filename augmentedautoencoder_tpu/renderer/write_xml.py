@@ -43,3 +43,24 @@ def write_voc_xml(
     ET.indent(tree)
     tree.write(path)
     return path
+
+
+def parse_voc_xml(path: str):
+    """Round-trip reader for write_voc_xml output (and any Pascal-VOC
+    annotation): [{'id': name string, 'bb': [xmin, ymin, xmax, ymax]}]."""
+    root = ET.parse(path).getroot()
+    objects = []
+    for o in root.findall("object"):
+        bnd = o.find("bndbox")
+        objects.append(
+            {
+                "id": o.findtext("name"),
+                "bb": [
+                    int(bnd.findtext("xmin")),
+                    int(bnd.findtext("ymin")),
+                    int(bnd.findtext("xmax")),
+                    int(bnd.findtext("ymax")),
+                ],
+            }
+        )
+    return objects

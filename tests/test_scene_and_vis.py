@@ -100,3 +100,102 @@ class TestPoseVisualizer:
         ys, xs = np.nonzero(changed)
         cy, cx = int(ys.mean()), int(xs.mean())
         assert out[cy, cx, 1] >= img[cy, cx, 1]
+
+
+@pytest.mark.e2e
+class TestDetectorDataGenCLIs:
+    """Drive the two detector-training-data CLIs end-to-end on tiny
+    fixtures (reference detection_utils/generate_syn_det_train.py and
+    generate_sixd_train.py)."""
+
+    def test_generate_syn_det_train(self, tmp_path, monkeypatch):
+        import sys
+
+        import cv2
+
+        from augmentedautoencoder_tpu.cli import generate_syn_det_train
+        from augmentedautoencoder_tpu.renderer.procedural import (
+            make_icosphere,
+            save_ply,
+        )
+        from augmentedautoencoder_tpu.renderer.write_xml import parse_voc_xml
+
+        model = tmp_path / "obj.ply"
+        save_ply(make_icosphere(subdivisions=1, radius=60.0), str(model))
+        voc = tmp_path / "voc"
+        voc.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            cv2.imwrite(str(voc / f"bg{i}.jpg"),
+                        rng.randint(0, 255, (60, 80, 3), np.uint8))
+        out = tmp_path / "out"
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "--output_path", str(out), "--model_paths", str(model),
+            "--vocdevkit_path", str(voc), "--num_scenes", "3",
+            "--width", "160", "--height", "120",
+            "--K", "[140, 0, 80, 0, 140, 60, 0, 0, 1]",
+            "--min_objects", "1", "--max_objects", "2", "--radius", "400",
+        ])
+        generate_syn_det_train.main()
+        imgs = sorted((out / "images").glob("*.png"))
+        anns = sorted((out / "annotations").glob("*.xml"))
+        assert len(imgs) == len(anns) == 3
+        parsed = parse_voc_xml(str(anns[0]))
+        assert len(parsed) >= 1
+        for obj in parsed:
+            x0, y0, x1, y1 = obj["bb"]
+            assert 0 <= x0 < x1 <= 160 and 0 <= y0 < y1 <= 120
+
+    def test_generate_sixd_train(self, tmp_path, monkeypatch):
+        import json
+        import sys
+
+        import cv2
+
+        from augmentedautoencoder_tpu.cli import generate_sixd_train
+        from augmentedautoencoder_tpu.renderer.write_xml import parse_voc_xml
+
+        # tiny BOP-layout scene: 2 images with GT bboxes + depth masks
+        scene = tmp_path / "bop" / "test" / "000001"
+        (scene / "rgb").mkdir(parents=True)
+        (scene / "depth").mkdir()
+        rng = np.random.RandomState(1)
+        gt, gt_info, cam = {}, {}, {}
+        for im in range(2):
+            cv2.imwrite(str(scene / "rgb" / f"{im:06d}.png"),
+                        rng.randint(0, 255, (60, 80, 3), np.uint8))
+            depth = np.zeros((60, 80), np.uint16)
+            depth[20:40, 30:55] = 500
+            cv2.imwrite(str(scene / "depth" / f"{im:06d}.png"), depth)
+            gt[str(im)] = [{"obj_id": 7, "cam_R_m2c": list(np.eye(3).ravel()),
+                            "cam_t_m2c": [0, 0, 500]}]
+            gt_info[str(im)] = [{"bbox_obj": [30, 20, 25, 20],
+                                 "bbox_visib": [30, 20, 25, 20],
+                                 "visib_fract": 1.0}]
+            cam[str(im)] = {"cam_K": [100, 0, 40, 0, 100, 30, 0, 0, 1],
+                            "depth_scale": 1.0}
+        (scene / "scene_gt.json").write_text(json.dumps(gt))
+        (scene / "scene_gt_info.json").write_text(json.dumps(gt_info))
+        (scene / "scene_camera.json").write_text(json.dumps(cam))
+
+        voc = tmp_path / "voc"
+        voc.mkdir()
+        for i in range(2):
+            cv2.imwrite(str(voc / f"bg{i}.jpg"),
+                        rng.randint(0, 255, (60, 80, 3), np.uint8))
+
+        out = tmp_path / "det_out"
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "--dataset_path", str(tmp_path / "bop"),
+            "--scenes", "1", "--vocdevkit_path", str(voc),
+            "--output_path", str(out), "--num_images", "4",
+            "--width", "160", "--height", "120",
+            "--min_objects", "1", "--max_objects", "3",
+        ])
+        generate_sixd_train.main()
+        imgs = sorted((out / "images").glob("*.png"))
+        anns = sorted((out / "annotations").glob("*.xml"))
+        assert len(imgs) == len(anns) == 4
+        all_objs = [o for a in anns for o in parse_voc_xml(str(a))]
+        assert all_objs, "at least one visible annotation expected"
+        assert {o["id"] for o in all_objs} == {"7"} or {o["id"] for o in all_objs} == {7}

@@ -440,6 +440,43 @@ class TestEndToEnd:
         )
         assert PoseServer(str(cfg16), max_dets_per_class=4).precision == "bfloat16"
 
+    def test_aae_image_demo_cli(self, workspace, monkeypatch, tmp_path):
+        """The reference's single-crop demo (test/aae_image.py): estimate a
+        crop's rotation and write input|re-rendered-estimate side by side."""
+        import cv2
+
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.cli import aae_image
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        R = codebook.viewsphere[7]
+        bgr, depth = dataset.renderer.render(
+            0, W, H, cfg.K, R, np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+        ys, xs = np.nonzero(depth > 0)
+        from augmentedautoencoder_tpu.data.dataset import extract_square_patch
+
+        crop = extract_square_patch(
+            bgr, calc_2d_bbox(xs, ys, cfg.render_dims), cfg.pad_factor,
+            resize=(cfg.w, cfg.h),
+        )
+        crop_path = tmp_path / "crop.png"
+        cv2.imwrite(str(crop_path), crop)
+        out_dir = tmp_path / "demo_out"
+        run_cli(aae_image, ["e2e_obj", "-f", str(crop_path),
+                            "-o", str(out_dir)], monkeypatch)
+        out = cv2.imread(str(out_dir / "crop_estimate.png"))
+        assert out is not None
+        # input | estimate side-by-side: twice the crop width
+        assert out.shape == (cfg.h, 2 * cfg.w, 3)
+        assert out[:, cfg.w:].max() > 0  # estimate pane rendered
+
     def test_resume_from_checkpoint(self, workspace, monkeypatch):
         from augmentedautoencoder_tpu.cli import ae_train
 

@@ -86,3 +86,31 @@ def tiles(
                 grid[y0 : y0 + th, x0 : x0 + tw, :] = img
             i += 1
     return grid
+
+
+def tiles4(
+    batch: np.ndarray,
+    rows: int,
+    cols: int,
+    spacing_x: int = 0,
+    spacing_y: int = 0,
+    scale: float = 1.0,
+) -> np.ndarray:
+    """RGBD grid: each cell shows RGB with its depth channel tiled directly
+    below (reference meshrenderer/gl_utils/tiles.py:32-53 `tiles4`).
+
+    batch: (N, H, W, 4) — channels 0:3 color, 3 depth. Returns a float grid
+    of 2*rows x cols cells with ones background.
+    """
+    if batch.ndim != 4 or batch.shape[3] != 4:
+        raise ValueError(f"tiles4 needs (N, H, W, 4), got {batch.shape}")
+    n = batch.shape[0]
+    rgb = batch[..., :3]
+    depth = np.repeat(batch[..., 3:4], 3, axis=3)
+    # interleave rgb-row / depth-row pairs, then reuse the plain grid layout
+    cells = np.ones((2 * rows * cols,) + rgb.shape[1:], dtype=np.float64)
+    for i in range(min(n, rows * cols)):
+        r, c = divmod(i, cols)
+        cells[(2 * r) * cols + c] = rgb[i]
+        cells[(2 * r + 1) * cols + c] = depth[i]
+    return tiles(cells, 2 * rows, cols, spacing_x, spacing_y, scale)

@@ -250,3 +250,32 @@ class TestAnalysisPlots:
 
         img = mpimg.imread(out)
         assert img[..., 1].max() > 0.5  # green estimate edges drawn
+
+
+class TestTiles4:
+    def test_rgbd_grid_layout(self):
+        import numpy as np
+
+        from augmentedautoencoder_tpu.utils.misc import tiles4
+
+        rng = np.random.RandomState(0)
+        batch = rng.rand(3, 8, 8, 4)
+        grid = tiles4(batch, rows=2, cols=2, spacing_x=2, spacing_y=2)
+        # 2 rows of cells -> 4 image rows; 2 cols
+        assert grid.shape == (4 * 8 + 3 * 2, 2 * 8 + 1 * 2, 3)
+        # cell (0,0): rgb of sample 0 on top, its depth (replicated) below
+        np.testing.assert_allclose(grid[:8, :8], batch[0, :, :, :3])
+        np.testing.assert_allclose(
+            grid[10:18, :8], np.repeat(batch[0, :, :, 3:4], 3, axis=2)
+        )
+        # unused 4th cell stays ones background
+        np.testing.assert_allclose(grid[20:, 10:], 1.0)
+
+    def test_rejects_non_rgbd(self):
+        import numpy as np
+        import pytest
+
+        from augmentedautoencoder_tpu.utils.misc import tiles4
+
+        with pytest.raises(ValueError, match="N, H, W, 4"):
+            tiles4(np.zeros((2, 8, 8, 3)), 1, 2)

@@ -55,6 +55,11 @@ class TrainConfig:
     # (neighbor clutter for multi-instance robustness; new, no reference
     # equivalent — the reference relies on tight detector boxes)
     neighbor_clutter: float = 0.0
+    # number of independent neighbor pastes per image and the relative
+    # shift range (fraction of crop size) each paste is rolled by; the
+    # defaults reproduce the round-2 single-neighbor stream bit-for-bit
+    neighbor_clutter_count: int = 1
+    neighbor_clutter_shift: Tuple[float, float] = (0.35, 0.9)
     max_rel_offset: float = 0.20
     code: Optional[augment_spec.AugSpec] = None
 
@@ -209,6 +214,12 @@ def load_train_config(path_or_parser) -> TrainConfig:
         if cp.has_option("Augmentation", key):
             v = safe_eval(cp.get("Augmentation", key))
             setattr(cfg, attr, float(v) if v else 0.0)
+    cfg.neighbor_clutter_count = _get(
+        cp, "Augmentation", "NEIGHBOR_CLUTTER_COUNT", cfg.neighbor_clutter_count
+    )
+    if cp.has_option("Augmentation", "NEIGHBOR_CLUTTER_SHIFT"):
+        lo, hi = safe_eval(cp.get("Augmentation", "NEIGHBOR_CLUTTER_SHIFT"))
+        cfg.neighbor_clutter_shift = (float(lo), float(hi))
     cfg.max_rel_offset = _get(cp, "Augmentation", "MAX_REL_OFFSET", cfg.max_rel_offset)
     if cp.has_option("Augmentation", "CODE"):
         cfg.code = safe_eval(

@@ -233,39 +233,45 @@ class DeviceDataset:
             # whose pixels enter padded detection crops in multi-instance
             # scenes. The primary object still composites on top, so only
             # the background region gains clutter. Keys are fold_in-derived:
-            # the original stream is bit-identical when the knob is off.
-            k_nb = jax.random.fold_in(rng, 101)
-            k_sx = jax.random.fold_in(rng, 102)
-            k_sy = jax.random.fold_in(rng, 103)
-            k_ap = jax.random.fold_in(rng, 104)
-            nb_idcs = jax.random.choice(k_nb, n, (batch_size,))
-            nb_x = d.train_x[nb_idcs].astype(jnp.float32)
-            nb_obj = ~d.mask_x[nb_idcs]  # mask==True is background
-            Hh, Ww = nb_obj.shape[1], nb_obj.shape[2]
+            # the original stream is bit-identical when the knob is off, and
+            # the j=0 paste with default count/shift reproduces the round-2
+            # single-neighbor stream bit-for-bit (same 101..104 key path).
+            lo_s, hi_s = cfg.neighbor_clutter_shift
+            n_pastes = max(1, int(cfg.neighbor_clutter_count))
+            for j in range(n_pastes):
+                off = 101 + 10 * j
+                k_nb = jax.random.fold_in(rng, off)
+                k_sx = jax.random.fold_in(rng, off + 1)
+                k_sy = jax.random.fold_in(rng, off + 2)
+                k_ap = jax.random.fold_in(rng, off + 3)
+                nb_idcs = jax.random.choice(k_nb, n, (batch_size,))
+                nb_x = d.train_x[nb_idcs].astype(jnp.float32)
+                nb_obj = ~d.mask_x[nb_idcs]  # mask==True is background
+                Hh, Ww = nb_obj.shape[1], nb_obj.shape[2]
 
-            def rand_shift(k, size):
-                ka, kb = jax.random.split(k)
-                mag = jax.random.randint(
-                    ka, (batch_size,), int(0.35 * size), int(0.9 * size)
+                def rand_shift(k, size):
+                    ka, kb = jax.random.split(k)
+                    mag = jax.random.randint(
+                        ka, (batch_size,), int(lo_s * size), int(hi_s * size)
+                    )
+                    sign = jax.random.choice(kb, jnp.array([-1, 1]), (batch_size,))
+                    return mag * sign
+
+                dy = rand_shift(k_sy, Hh)
+                dx = rand_shift(k_sx, Ww)
+
+                def roll_one(img, m, sy, sx):
+                    return (
+                        jnp.roll(img, (sy, sx), axis=(0, 1)),
+                        jnp.roll(m, (sy, sx), axis=(0, 1)),
+                    )
+
+                nb_x_s, nb_obj_s = jax.vmap(roll_one)(nb_x, nb_obj, dy, dx)
+                cluttered = jnp.where(nb_obj_s[..., None], nb_x_s, bg)
+                apply = jax.random.bernoulli(
+                    k_ap, cfg.neighbor_clutter, (batch_size,)
                 )
-                sign = jax.random.choice(kb, jnp.array([-1, 1]), (batch_size,))
-                return mag * sign
-
-            dy = rand_shift(k_sy, Hh)
-            dx = rand_shift(k_sx, Ww)
-
-            def roll_one(img, m, sy, sx):
-                return (
-                    jnp.roll(img, (sy, sx), axis=(0, 1)),
-                    jnp.roll(m, (sy, sx), axis=(0, 1)),
-                )
-
-            nb_x_s, nb_obj_s = jax.vmap(roll_one)(nb_x, nb_obj, dy, dx)
-            cluttered = jnp.where(nb_obj_s[..., None], nb_x_s, bg)
-            apply = jax.random.bernoulli(
-                k_ap, cfg.neighbor_clutter, (batch_size,)
-            )
-            bg = jnp.where(apply[:, None, None, None], cluttered, bg)
+                bg = jnp.where(apply[:, None, None, None], cluttered, bg)
 
         batch_x = jnp.where(masks[..., None], bg, batch_x)
 

@@ -151,6 +151,26 @@ class TestTrainConfig:
         cfg2 = load_train_config(str(p))
         assert cfg2.square_occlusion == 0.25
 
+    def test_neighbor_clutter_knobs(self, cfg_file, tmp_path):
+        cfg = load_train_config(cfg_file)
+        assert cfg.neighbor_clutter == 0.0
+        assert cfg.neighbor_clutter_count == 1
+        assert cfg.neighbor_clutter_shift == (0.35, 0.9)
+        p = tmp_path / "nc.cfg"
+        p.write_text(
+            REFERENCE_TEMPLATE.replace(
+                "MAX_REL_OFFSET: 0.20",
+                "NEIGHBOR_CLUTTER: 0.5\n"
+                "NEIGHBOR_CLUTTER_COUNT: 2\n"
+                "NEIGHBOR_CLUTTER_SHIFT: (0.25, 0.8)\n"
+                "MAX_REL_OFFSET: 0.20",
+            )
+        )
+        cfg2 = load_train_config(str(p))
+        assert cfg2.neighbor_clutter == 0.5
+        assert cfg2.neighbor_clutter_count == 2
+        assert cfg2.neighbor_clutter_shift == (0.25, 0.8)
+
     def test_cache_key_stable(self, cfg_file):
         a = load_train_config(cfg_file).dataset_cache_items()
         b = load_train_config(cfg_file).dataset_cache_items()

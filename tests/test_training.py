@@ -238,6 +238,37 @@ class TestNeighborClutter:
         # and the object region carries the sample's own color
         assert (x[:, 12:20, 12:20, :] > 0).all()
 
+    def test_count_knob_default_is_bit_identical(self):
+        # explicit defaults must reproduce the single-paste stream exactly
+        # (the j=0 paste uses the same 101..104 fold_in key path)
+        a = self._mk(0.7)
+        b = self._mk(0.7)
+        b.cfg.neighbor_clutter_count = 1
+        b.cfg.neighbor_clutter_shift = (0.35, 0.9)
+        xa, _ = a.sample_batch(KEY, 8)
+        xb, _ = b.sample_batch(KEY, 8)
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+    def test_multi_paste_adds_clutter(self):
+        one = self._mk(1.0)
+        two = self._mk(1.0)
+        two.cfg.neighbor_clutter_count = 2
+        x1 = np.asarray(one.sample_batch(KEY, 8)[0])
+        x2 = np.asarray(two.sample_batch(KEY, 8)[0])
+        # count=2 includes the count=1 paste plus an independent second one:
+        # strictly more background pixels covered
+        n1 = (x1[:, :8, :, :] > 0).sum()
+        n2 = (x2[:, :8, :, :] > 0).sum()
+        assert n2 > n1
+
+    def test_shift_range_controls_paste_distance(self):
+        near = self._mk(1.0)
+        # tiny shift keeps the pasted neighbor near the center object, so
+        # the far corner stays clean
+        near.cfg.neighbor_clutter_shift = (0.05, 0.1)
+        x = np.asarray(near.sample_batch(KEY, 8)[0])
+        assert (x[:, :4, :4, :] == 0).all()
+
 
 class TestShardedCodebookQuery:
     def test_row_sharded_top1_matches_replicated(self):

@@ -279,3 +279,127 @@ class TestTiles4:
 
         with pytest.raises(ValueError, match="N, H, W, 4"):
             tiles4(np.zeros((2, 8, 8, 3)), 1, 2)
+
+
+class TestExperimentGroups:
+    """Reference CLI surface uses `exp_group/experiment` names everywhere
+    (reference README.md:118-139, auto_pose/ae/utils.py:28-90); the grouped
+    form must resolve cfg + log-dir paths and drive ae_train end to end."""
+
+    def test_split_experiment_name(self):
+        from augmentedautoencoder_tpu.cli import split_experiment_name
+
+        assert split_experiment_name("my_obj") == ("my_obj", "")
+        assert split_experiment_name("exp_group/my_obj") == ("my_obj", "exp_group")
+        # deeper nesting keeps the innermost group (reference behavior:
+        # only one group level is meaningful)
+        assert split_experiment_name("a/b/c") == ("c", "b")
+
+    def test_grouped_paths(self, tmp_path, monkeypatch):
+        from augmentedautoencoder_tpu import workspace
+
+        ws = str(tmp_path / "ws")
+        monkeypatch.setenv("AE_WORKSPACE_PATH", ws)
+        workspace.init_workspace(ws)
+        cfgp = workspace.get_config_file_path(ws, "obj1", "tless")
+        assert cfgp == os.path.join(ws, "cfg", "tless", "obj1.cfg")
+        logd = workspace.get_log_dir(ws, "obj1", "tless")
+        assert logd == os.path.join(ws, "experiments", "tless", "obj1")
+
+    def test_grouped_ae_train_gen(self, tmp_path, monkeypatch):
+        """Drive `ae_train exp_group/obj -gen` through the real CLI."""
+        import sys
+        import textwrap
+
+        import cv2
+
+        from augmentedautoencoder_tpu import workspace
+        from augmentedautoencoder_tpu.cli import ae_train
+        from augmentedautoencoder_tpu.renderer.procedural import (
+            make_textured_asymmetric,
+            save_ply,
+        )
+
+        ws = str(tmp_path / "ws")
+        monkeypatch.setenv("AE_WORKSPACE_PATH", ws)
+        workspace.init_workspace(ws)
+        model_path = str(tmp_path / "obj.ply")
+        save_ply(make_textured_asymmetric(subdivisions=1, radius=60.0), model_path)
+        bg_dir = tmp_path / "bg"
+        bg_dir.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            cv2.imwrite(
+                str(bg_dir / f"bg_{i}.jpg"),
+                rng.randint(0, 255, (32, 48, 3), np.uint8),
+            )
+        cfg = textwrap.dedent(
+            f"""
+            [Paths]
+            MODEL_PATH: {model_path}
+            BACKGROUND_IMAGES_GLOB: {bg_dir}/*.jpg
+
+            [Dataset]
+            MODEL: reconst
+            H: 16
+            W: 16
+            C: 3
+            RADIUS: 300
+            RENDER_DIMS: (60, 45)
+            K: [70, 0, 30, 0, 70, 22, 0, 0, 1]
+            VERTEX_SCALE: 1
+            ANTIALIASING: 1
+            PAD_FACTOR: 1.2
+            CLIP_NEAR: 10
+            CLIP_FAR: 10000
+            NOOF_TRAINING_IMGS: 4
+            NOOF_BG_IMGS: 2
+
+            [Augmentation]
+            REALISTIC_OCCLUSION: False
+            SQUARE_OCCLUSION: False
+            MAX_REL_OFFSET: 0.2
+            CODE: Sequential([], random_order=False)
+
+            [Embedding]
+            EMBED_BB: True
+            MIN_N_VIEWS: 12
+            NUM_CYCLO: 4
+
+            [Network]
+            BATCH_NORMALIZATION: False
+            AUXILIARY_MASK: False
+            VARIATIONAL: 0
+            LOSS: L2
+            BOOTSTRAP_RATIO: 4
+            NORM_REGULARIZE: 0
+            LATENT_SPACE_SIZE: 8
+            NUM_FILTER: [4, 8]
+            STRIDES: [2, 2]
+            KERNEL_SIZE_ENCODER: 3
+            KERNEL_SIZE_DECODER: 3
+
+            [Training]
+            OPTIMIZER: Adam
+            NUM_ITER: 2
+            BATCH_SIZE: 4
+            LEARNING_RATE: 1e-3
+            SAVE_INTERVAL: 2
+
+            [Queue]
+            NUM_THREADS: 1
+            QUEUE_SIZE: 2
+            """
+        )
+        cfg_dir = os.path.join(ws, "cfg", "exp_group")
+        os.makedirs(cfg_dir)
+        with open(os.path.join(cfg_dir, "tiny.cfg"), "w") as fh:
+            fh.write(cfg)
+
+        monkeypatch.setattr(sys, "argv", ["prog", "exp_group/tiny", "-gen"])
+        ae_train.main()
+
+        log_dir = os.path.join(ws, "experiments", "exp_group", "tiny")
+        assert os.path.exists(os.path.join(log_dir, "tiny.cfg"))
+        # the render cache lands under tmp_datasets keyed by cfg md5
+        assert os.listdir(os.path.join(ws, "tmp_datasets"))

@@ -52,6 +52,7 @@ NOOF_BG_IMGS: 500
 REALISTIC_OCCLUSION: False
 SQUARE_OCCLUSION: {square_occlusion}
 NEIGHBOR_CLUTTER: {neighbor_clutter}
+NEIGHBOR_CLUTTER_COUNT: {neighbor_clutter_count}
 MAX_REL_OFFSET: 0.2
 CODE: Sequential([
     Sometimes(0.5, Add((-25, 25), per_channel=0.3)),
@@ -212,6 +213,9 @@ def main() -> None:
     parser.add_argument("--clutter", type=float, default=0.0,
                         help="NEIGHBOR_CLUTTER probability: paste other "
                              "samples' renders into training backgrounds")
+    parser.add_argument("--clutter_count", type=int, default=1,
+                        help="NEIGHBOR_CLUTTER_COUNT: independent pastes "
+                             "per image (sweep for crowded-scene training)")
     parser.add_argument("--occlusion", action="store_true",
                         help="train with SQUARE_OCCLUSION (the reference's "
                              "clutter/occlusion robustness recipe)")
@@ -261,6 +265,7 @@ def main() -> None:
                     iters=args.iters, precision=args.precision,
                     square_occlusion=args.occlusion,
                     neighbor_clutter=args.clutter,
+                    neighbor_clutter_count=args.clutter_count,
                 )
             )
         t0 = time.time()
@@ -307,6 +312,7 @@ def main() -> None:
         "instances": args.instances,
         "square_occlusion": bool(args.occlusion),
         "neighbor_clutter": args.clutter,
+        "neighbor_clutter_count": args.clutter_count,
         "iters": args.iters,
         "codebook_size": args.views * args.cyclo,
         "test_imgs": len(results),

@@ -91,3 +91,60 @@ class TestShippedM3Configs:
             assert args.get(
                 "auto_pose", "serving_precision", fallback="float32"
             ) == "float32"
+
+
+class TestWebcamVideoStream:
+    """Threaded grabber semantics (reference test/webcam_video_stream.py:5-57):
+    consumers always read the LATEST frame; stop() joins and releases."""
+
+    class _FakeCapture:
+        def __init__(self, *a):
+            self.n = 0
+            self.released = False
+            self.props = {}
+
+        def set(self, prop, val):
+            self.props[prop] = val
+
+        def read(self):
+            import numpy as np
+
+            self.n += 1
+            return True, np.full((4, 4, 3), self.n % 256, dtype="uint8")
+
+        def release(self):
+            self.released = True
+
+    def test_reads_latest_and_stops(self, monkeypatch):
+        import time
+
+        import cv2
+
+        from augmentedautoencoder_tpu.pose.webcam_video_stream import (
+            WebcamVideoStream,
+        )
+
+        fake = {}
+
+        def make(src):
+            fake["cap"] = self._FakeCapture(src)
+            return fake["cap"]
+
+        monkeypatch.setattr(cv2, "VideoCapture", make)
+        vs = WebcamVideoStream(0, 720, 540).start()
+        try:
+            # frame width/height requested on the capture
+            assert cv2.CAP_PROP_FRAME_WIDTH in fake["cap"].props
+            f1 = vs.read()
+            assert f1 is not None and f1.shape == (4, 4, 3)
+            time.sleep(0.05)
+            f2 = vs.read()
+            # the daemon thread kept grabbing: later read sees a newer frame
+            assert int(f2[0, 0, 0]) >= int(f1[0, 0, 0])
+        finally:
+            vs.stop()
+        assert vs.stopped and fake["cap"].released
+        # no more grabs after stop
+        n = fake["cap"].n
+        time.sleep(0.03)
+        assert fake["cap"].n == n

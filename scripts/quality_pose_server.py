@@ -45,6 +45,9 @@ def main() -> None:
     parser.add_argument("--frames", type=int, default=30)
     parser.add_argument("--iters", type=int, default=30000)
     parser.add_argument("--precision", default="bfloat16")
+    parser.add_argument("--icp", action="store_true",
+                        help="serve with depth: batched 3-stage ICP "
+                             "refinement through PoseServer.process")
     parser.add_argument("--out", default="scripts/quality_pose_server.json")
     args = parser.parse_args()
 
@@ -117,6 +120,7 @@ def main() -> None:
             "camPose = False\nupright = False\ntopk = 1\n"
             "color_format = bgr\ncolor_data_type = np.float32\n"
             "depth_data_type = np.float32\n"
+            f"use_icp = {args.icp}\n"
             "class_2_encoder = {'asym': 'asym_obj', 'stretch': 'obj2'}\n"
         )
     server = PoseServer(cfg_path, max_dets_per_class=4)
@@ -151,7 +155,10 @@ def main() -> None:
             ))
             gts.append((cls, R_gt, t_gt))
         t0 = time.time()
-        poses = server.process(boxes, frame, K, mm=True)
+        poses = server.process(
+            boxes, frame, K, mm=True,
+            depth_img=depth if args.icp else None,
+        )
         t_serve += time.time() - t0
         for p in poses:
             cls = p.name
@@ -168,6 +175,7 @@ def main() -> None:
         "pipeline": "2x(ae_train+ae_embed) -> PoseServer.process (present-class serving)",
         "frames": args.frames,
         "precision_trained": args.precision,
+        "icp": bool(args.icp),
         "per_class": {
             cls: {
                 "n": len(v["re"]),

@@ -49,7 +49,7 @@ NOOF_TRAINING_IMGS: {train_imgs}
 NOOF_BG_IMGS: 500
 
 [Augmentation]
-REALISTIC_OCCLUSION: False
+REALISTIC_OCCLUSION: {realistic_occlusion}
 SQUARE_OCCLUSION: {square_occlusion}
 NEIGHBOR_CLUTTER: {neighbor_clutter}
 NEIGHBOR_CLUTTER_COUNT: {neighbor_clutter_count}
@@ -219,6 +219,10 @@ def main() -> None:
     parser.add_argument("--occlusion", action="store_true",
                         help="train with SQUARE_OCCLUSION (the reference's "
                              "clutter/occlusion robustness recipe)")
+    parser.add_argument("--realistic_occlusion", type=float, default=0.0,
+                        help="REALISTIC_OCCLUSION max-occlusion fraction "
+                             "(mask-bank pastes; synthesized bank when no "
+                             ".bin ships)")
     parser.add_argument("--instances", type=int, default=1,
                         help="object instances per image (multi-instance "
                              "regime: batched per-frame estimation + ICP)")
@@ -264,6 +268,7 @@ def main() -> None:
                     cyclo=args.cyclo,
                     iters=args.iters, precision=args.precision,
                     square_occlusion=args.occlusion,
+                    realistic_occlusion=args.realistic_occlusion,
                     neighbor_clutter=args.clutter,
                     neighbor_clutter_count=args.clutter_count,
                 )
@@ -311,6 +316,7 @@ def main() -> None:
         "precision": args.precision,
         "instances": args.instances,
         "square_occlusion": bool(args.occlusion),
+        "realistic_occlusion": args.realistic_occlusion,
         "neighbor_clutter": args.clutter,
         "neighbor_clutter_count": args.clutter_count,
         "iters": args.iters,

@@ -35,6 +35,14 @@ def main() -> None:
     parser.add_argument("--detection_time", type=float, default=0.15,
                         help="assumed external detector time per image "
                              "(m3_template.cfg:21-22)")
+    parser.add_argument("--gt_masks", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="zero the background with the instance's "
+                             "mask_visib before estimation, as the "
+                             "reference BOP driver does "
+                             "(compute_bop_results_m3.py:162-166). auto: "
+                             "mask when the file exists; on: require it; "
+                             "off: plain bbox crops from the full image")
     args = parser.parse_args()
 
     estimator = AePoseEstimator(args.test_config)
@@ -59,10 +67,10 @@ def main() -> None:
         K = loader.cameras[im_id]["K"]
         H, W = img.shape[:2]
 
-        boxes = []
+        boxes, gt_idcs = [], []
         for tgt in tgts:
             obj_id = tgt["obj_id"]
-            for gt in loader.gt.get(im_id, []):
+            for gi, gt in enumerate(loader.gt.get(im_id, [])):
                 if gt.obj_id != obj_id:
                     continue
                 bb = gt.bbox_visib or gt.bbox_obj
@@ -76,9 +84,31 @@ def main() -> None:
                         classes={obj_id: 1.0},
                     )
                 )
+                gt_idcs.append(gi)
 
         t0 = time.time()
-        poses = estimator.process(bboxes=boxes, color_img=img, camK=K, mm=True)
+        if args.gt_masks != "off":
+            # reference parity: one process() per instance on the
+            # background-zeroed image (compute_bop_results_m3.py:162-176)
+            poses = []
+            for box, gi in zip(boxes, gt_idcs):
+                mask = loader.load_mask_visib(im_id, gi)
+                if mask is None:
+                    if args.gt_masks == "on":
+                        raise FileNotFoundError(
+                            f"--gt_masks=on but no mask_visib for scene "
+                            f"{scene_id} im {im_id} gt {gi}"
+                        )
+                    im_in = img
+                else:
+                    im_in = img * mask[..., None].astype(img.dtype)
+                poses += estimator.process(
+                    bboxes=[box], color_img=im_in, camK=K, mm=True
+                )
+        else:
+            poses = estimator.process(
+                bboxes=boxes, color_img=img, camK=K, mm=True
+            )
         aae_time = time.time() - t0
         img_time = args.detection_time + aae_time
 

@@ -153,8 +153,18 @@ class Evaluator:
                 bb = calc_2d_bbox(xs, ys, (W, H))
             if bb is None:
                 continue
+            src_img = img
+            if ec.gt_masks:
+                # reference BOP driver zeroes the background with the
+                # instance's visible mask before estimation
+                # (compute_bop_results_m3.py:162-166); mask files are named
+                # by the instance's position in the FULL scene_gt list, so
+                # use all_gts' original index, not the obj-filtered one
+                m = loader.load_mask_visib(im_id, all_gts[gi][0])
+                if m is not None:
+                    src_img = img * m[..., None].astype(img.dtype)
             crop = extract_square_patch(
-                img, bb, self.train_cfg.pad_factor,
+                src_img, bb, self.train_cfg.pad_factor,
                 resize=(self.train_cfg.w, self.train_cfg.h),
             )
             crops.append(crop)

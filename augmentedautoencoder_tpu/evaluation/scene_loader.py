@@ -128,6 +128,29 @@ class SceneLoader:
             raise FileNotFoundError(path)
         return depth.astype(np.float64) * self.cameras[im_id]["depth_scale"]
 
+    def load_mask_visib(self, im_id: int, gt_idx: int) -> Optional[np.ndarray]:
+        """Per-instance visible-pixel mask (BOP `mask_visib/<im>_<gt>.png`).
+
+        `gt_idx` is the instance's position in the image's full scene_gt
+        list (the BOP file-naming convention). Returns a bool HxW array,
+        or None when the dataset ships no masks — callers fall back to
+        unmasked crops. The reference's BOP driver reads the same files
+        and multiplies the image by mask/255
+        (compute_bop_results_m3.py:162-166)."""
+        import cv2
+
+        path = os.path.join(
+            self.scene_dir, "mask_visib", f"{im_id:06d}_{gt_idx:06d}.png"
+        )
+        if not os.path.exists(path):
+            return None
+        m = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if m is None:
+            return None
+        if m.ndim == 3:
+            m = m[..., 0]
+        return m > 127
+
 
 def scene_dir_for(dataset_path: str, scene_id: int, cam_type: str = "") -> str:
     """Resolve the scene dir in either layout."""

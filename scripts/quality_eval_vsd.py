@@ -162,14 +162,16 @@ def make_scenes(
     scene_dir = os.path.join(dataset_root, "test", "000001")
     os.makedirs(os.path.join(scene_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(scene_dir, "depth"), exist_ok=True)
+    os.makedirs(os.path.join(scene_dir, "mask_visib"), exist_ok=True)
     rng = np.random.RandomState(seed)
     # lateral placements that keep every instance fully in frame
     offsets = np.linspace(-115.0, 115.0, instances) if instances > 1 else [0.0]
-    gt, cam = {}, {}
+    gt, cam, gt_info = {}, {}, {}
     for i in range(n):
         bgr = np.zeros((H, W, 3), np.uint8)
         depth = np.zeros((H, W), np.float32)
         entries = []
+        inst_depths = []
         for m, tx in enumerate(offsets):
             R = transform.random_rotation_matrix(rng.rand(3))[:3, :3]
             ty = float(rng.uniform(-25.0, 25.0)) if instances > 1 else 0.0
@@ -181,9 +183,30 @@ def make_scenes(
             vis = (depth_m > 0) & ((depth == 0) | (depth_m < depth))
             bgr[vis] = bgr_m[vis]
             depth[vis] = depth_m[vis]
+            inst_depths.append(depth_m)
             entries.append(
                 {"obj_id": 1, "cam_R_m2c": R.ravel().tolist(), "cam_t_m2c": t.tolist()}
             )
+        # BOP mask_visib + scene_gt_info: instance m's visible pixels are
+        # those it owns in the final z-buffer (values copied verbatim, so
+        # equality is exact); visib_fract/bboxes derive from the same masks
+        infos = []
+        for m, depth_m in enumerate(inst_depths):
+            vis_m = (depth_m > 0) & (depth == depth_m)
+            cv2.imwrite(
+                os.path.join(scene_dir, "mask_visib", f"{i:06d}_{m:06d}.png"),
+                vis_m.astype(np.uint8) * 255,
+            )
+            info = {"visib_fract": float(vis_m.sum() / max((depth_m > 0).sum(), 1))}
+            for key, mask_m in (("bbox_obj", depth_m > 0), ("bbox_visib", vis_m)):
+                ys, xs = np.nonzero(mask_m)
+                info[key] = (
+                    [int(xs.min()), int(ys.min()),
+                     int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1)]
+                    if len(xs) else None
+                )
+            infos.append(info)
+        gt_info[str(i)] = infos
         cv2.imwrite(os.path.join(scene_dir, "rgb", f"{i:06d}.png"), bgr)
         cv2.imwrite(
             os.path.join(scene_dir, "depth", f"{i:06d}.png"),
@@ -195,6 +218,8 @@ def make_scenes(
         json.dump(gt, fh)
     with open(os.path.join(scene_dir, "scene_camera.json"), "w") as fh:
         json.dump(cam, fh)
+    with open(os.path.join(scene_dir, "scene_gt_info.json"), "w") as fh:
+        json.dump(gt_info, fh)
 
 
 def main() -> None:

@@ -153,6 +153,7 @@ class TestEvalPipeline:
         scene_dir = os.path.join(root, "test", "000001")
         os.makedirs(os.path.join(scene_dir, "rgb"), exist_ok=True)
         os.makedirs(os.path.join(scene_dir, "depth"), exist_ok=True)
+        os.makedirs(os.path.join(scene_dir, "mask_visib"), exist_ok=True)
         t = np.array([0.0, 0.0, 300.0])
         gt, cam, gt_info = {}, {}, {}
         from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
@@ -163,6 +164,10 @@ class TestEvalPipeline:
             cv2.imwrite(
                 os.path.join(scene_dir, "depth", f"{i:06d}.png"),
                 np.round(depth).astype(np.uint16),
+            )
+            cv2.imwrite(
+                os.path.join(scene_dir, "mask_visib", f"{i:06d}_000000.png"),
+                (depth > 0).astype(np.uint8) * 255,
             )
             ys, xs = np.nonzero(depth > 0)
             bb = [int(v) for v in calc_2d_bbox(xs, ys, (W, H))]
@@ -289,6 +294,73 @@ class TestEvalPipeline:
         np.testing.assert_allclose(parsed["ests"][0]["R"], r.R_est, atol=1e-7)
         np.testing.assert_allclose(parsed["ests"][0]["t"], r.t_est, atol=1e-7)
         assert parsed["ests"][0]["score"] == 0.9
+
+    def test_gt_masks_zero_background(self, tmp_path):
+        """GT_MASKS feeds background-zeroed crops, matching the reference
+        BOP driver's `img * mask_visib` (compute_bop_results_m3.py:162-176).
+        Also covers SceneLoader.load_mask_visib present/missing cases."""
+        import cv2
+
+        from augmentedautoencoder_tpu.config import TrainConfig
+        from augmentedautoencoder_tpu.config.eval_config import EvalConfig
+        from augmentedautoencoder_tpu.evaluation.evaluator import Evaluator
+        from augmentedautoencoder_tpu.evaluation.scene_loader import SceneLoader
+        from augmentedautoencoder_tpu.geometry.view_sampler import (
+            viewsphere_rotations,
+        )
+        from augmentedautoencoder_tpu.renderer import Renderer
+        from augmentedautoencoder_tpu.renderer.procedural import make_icosphere
+
+        renderer = Renderer([], backend="numpy",
+                            meshes=[make_icosphere(subdivisions=2, radius=60.0)])
+        views = viewsphere_rotations(12, 4, 300.0)
+        scene_dir = self._make_scene(str(tmp_path / "data"), renderer, [views[0]])
+
+        # pollute the background so unmasked crops can't be all-object
+        rgb_p = os.path.join(scene_dir, "rgb", "000000.png")
+        img = cv2.imread(rgb_p)
+        mask = cv2.imread(
+            os.path.join(scene_dir, "mask_visib", "000000_000000.png"),
+            cv2.IMREAD_UNCHANGED,
+        ) > 127
+        noise = np.random.RandomState(0).randint(
+            30, 255, img.shape).astype(np.uint8)
+        img[~mask] = noise[~mask]
+        cv2.imwrite(rgb_p, img)
+
+        loader = SceneLoader(scene_dir)
+        m = loader.load_mask_visib(0, 0)
+        assert m is not None and m.dtype == bool and m.any()
+        assert loader.load_mask_visib(0, 7) is None  # no such instance
+
+        captured = []
+
+        class StubCodebook:
+            def auto_pose6d_batch(self, crops, bbs, K_, cfg):
+                captured.append(crops.copy())
+                n = crops.shape[0]
+                return (np.tile(np.eye(3), (n, 1, 1)),
+                        np.tile(np.array([0.0, 0.0, 300.0]), (n, 1)),
+                        np.zeros(n, int))
+
+        train_cfg = TrainConfig(h=32, w=32, c=3)
+        ec = EvalConfig()
+        ec.obj_id = 1
+        ev = Evaluator(StubCodebook(), train_cfg, ec)
+
+        ec.gt_masks = False
+        assert len(ev.estimate_image(loader, 1, 0)) == 1
+        ec.gt_masks = True
+        assert len(ev.estimate_image(loader, 1, 0)) == 1
+        unmasked, masked = captured
+        # padded square crop corners lie outside the silhouette: noisy
+        # unmasked, exactly zero once the visible mask is applied
+        assert unmasked[0, 0, 0].sum() > 0
+        assert masked[0, 0, 0].sum() == 0
+        assert not np.array_equal(unmasked, masked)
+        # object interior identical either way
+        cy, cx = 16, 16
+        np.testing.assert_array_equal(unmasked[0, cy, cx], masked[0, cy, cx])
 
     def test_ae_eval_cli_on_synthetic_scene(self, tmp_path, monkeypatch):
         # reuse the e2e workspace recipe: train + embed a tiny experiment

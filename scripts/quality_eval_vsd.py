@@ -107,6 +107,7 @@ CAM_TYPE:
 [BBOXES]
 ESTIMATE_BBS: False
 SINGLE_INSTANCE: {single_instance}
+GT_MASKS: {gt_masks}
 ICP: {icp}
 
 [EVALUATION]
@@ -251,6 +252,10 @@ def main() -> None:
     parser.add_argument("--instances", type=int, default=1,
                         help="object instances per image (multi-instance "
                              "regime: batched per-frame estimation + ICP)")
+    parser.add_argument("--gt_masks", action="store_true",
+                        help="zero the background with each instance's "
+                             "mask_visib before cropping (the reference "
+                             "BOP driver's estimation regime)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -317,8 +322,10 @@ def main() -> None:
     eval_name = "vsd_eval_icp" if args.icp else "vsd_eval"
     if args.instances > 1:
         eval_name += f"_inst{args.instances}"
+    if args.gt_masks:
+        eval_name += "_masked"
     with open(os.path.join(ws, "cfg_eval", "eval.cfg"), "w") as fh:
-        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1)))
+        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1), gt_masks=args.gt_masks))
     t0 = time.time()
     run_cli(ae_eval, ["asym_obj", eval_name])
     timings["eval_s"] = round(time.time() - t0, 1)
@@ -340,6 +347,7 @@ def main() -> None:
         "icp": bool(args.icp),
         "precision": args.precision,
         "instances": args.instances,
+        "gt_masks": bool(args.gt_masks),
         "square_occlusion": bool(args.occlusion),
         "realistic_occlusion": args.realistic_occlusion,
         "neighbor_clutter": args.clutter,

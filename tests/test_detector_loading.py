@@ -110,7 +110,10 @@ class TestWebcamVideoStream:
             import numpy as np
 
             self.n += 1
-            return True, np.full((4, 4, 3), self.n % 256, dtype="uint8")
+            # int64 frames: the counter must not wrap (the daemon thread can
+            # grab thousands of frames between test reads, so a uint8 counter
+            # mod 256 makes the monotonicity assertion flaky).
+            return True, np.full((4, 4, 3), self.n, dtype=np.int64)
 
         def release(self):
             self.released = True

@@ -87,25 +87,30 @@ def main() -> None:
                 gt_idcs.append(gi)
 
         t0 = time.time()
+        masks = []
         if args.gt_masks != "off":
+            masks = [loader.load_mask_visib(im_id, gi) for gi in gt_idcs]
+            if args.gt_masks == "on" and any(m is None for m in masks):
+                gi = gt_idcs[masks.index(None)]
+                raise FileNotFoundError(
+                    f"--gt_masks=on but no mask_visib for scene "
+                    f"{scene_id} im {im_id} gt {gi}"
+                )
+        if any(m is not None for m in masks):
             # reference parity: one process() per instance on the
             # background-zeroed image (compute_bop_results_m3.py:162-176)
             poses = []
-            for box, gi in zip(boxes, gt_idcs):
-                mask = loader.load_mask_visib(im_id, gi)
-                if mask is None:
-                    if args.gt_masks == "on":
-                        raise FileNotFoundError(
-                            f"--gt_masks=on but no mask_visib for scene "
-                            f"{scene_id} im {im_id} gt {gi}"
-                        )
-                    im_in = img
-                else:
-                    im_in = img * mask[..., None].astype(img.dtype)
+            for box, mask in zip(boxes, masks):
+                im_in = (
+                    img if mask is None
+                    else img * mask[..., None].astype(img.dtype)
+                )
                 poses += estimator.process(
                     bboxes=[box], color_img=im_in, camK=K, mm=True
                 )
         else:
+            # no masks on disk (or --gt_masks=off): every crop comes from
+            # the same full image, so keep the single batched dispatch
             poses = estimator.process(
                 bboxes=boxes, color_img=img, camK=K, mm=True
             )

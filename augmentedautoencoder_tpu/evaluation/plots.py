@@ -122,10 +122,15 @@ def plot_error_vs_visibility(
     if error_type == "re":
         errs = np.minimum(errs, 180.0 - errs)
 
+    # Closed outer edges (deviation from the reference, whose strict
+    # `> lo & < hi` bins drop visib_fract exactly 0.0 and 1.0 — common
+    # values in real BOP gt_info): first bin includes 0.0, every bin
+    # includes its upper bound, so bin counts sum to len(errors).
     bounds = np.linspace(0.0, 1.0, bins + 1)
     bin_errs, bin_count = [], []
     for idx in range(bins):
-        sel = (vis > bounds[idx]) & (vis <= bounds[idx + 1])
+        lo_ok = vis >= bounds[idx] if idx == 0 else vis > bounds[idx]
+        sel = lo_ok & (vis <= bounds[idx + 1])
         bin_errs.append(errs[sel])
         bin_count.append(int(sel.sum()))
     centers = bounds[:-1] + (bounds[1] - bounds[0]) / 2.0
@@ -192,7 +197,9 @@ def plot_scene_with_estimate(
     if len(panels) == 1:
         axes = [axes]
     for ax, (name, img) in zip(axes, panels):
-        ax.imshow(np.clip(img, 0, 255).astype(np.uint8))
+        # scene/render arrive BGR (cv2 / rasterizer convention) — flip for
+        # matplotlib's RGB display, like plot_scene_with_3d_boxes does
+        ax.imshow(np.clip(img, 0, 255).astype(np.uint8)[..., ::-1])
         ax.add_patch(
             plt.Rectangle((x, y), w, h, fill=False, edgecolor="#2ca02c", linewidth=2)
         )
@@ -271,10 +278,14 @@ def plot_scene_with_3d_boxes(
 
 
 def _save_float_image(img: np.ndarray, path: str) -> None:
+    """Write a float [0,1] image; 3-channel input is BGR (the convention of
+    every crop/render in this stack) and is flipped to RGB for the file."""
     plt = _plt()
     arr = np.clip(np.asarray(img, np.float64), 0.0, 1.0)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[..., 0]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        arr = arr[..., ::-1]
     plt.imsave(path, arr, cmap="gray" if arr.ndim == 2 else None)
 
 

@@ -91,12 +91,20 @@ def write_boxplot_tikz(
         vals = np.asarray(vals, np.float64)
         if vals.size == 0:
             continue
+        # matplotlib's default whisker semantics (whis=1.5) so the .tex twin
+        # matches the PNG: whiskers at the farthest data within 1.5*IQR of
+        # the quartiles, points beyond drawn as outlier marks
         q1, med, q3 = np.percentile(vals, [25, 50, 75])
+        iqr = q3 - q1
+        inliers = vals[(vals >= q1 - 1.5 * iqr) & (vals <= q3 + 1.5 * iqr)]
+        lo_w, hi_w = inliers.min(), inliers.max()
+        fliers = vals[(vals < lo_w) | (vals > hi_w)]
+        coords = " ".join(f"(0,{v:g})" for v in fliers)
         lines.append(
             "\\addplot+[boxplot prepared={draw position=%g, lower whisker=%g, "
             "lower quartile=%g, median=%g, upper quartile=%g, upper whisker=%g, "
-            "box extend=%g}] coordinates {};"
-            % (pos, vals.min(), q1, med, q3, vals.max(), 0.05)
+            "box extend=%g}] coordinates {%s};"
+            % (pos, lo_w, q1, med, q3, hi_w, 0.05, coords)
         )
     lines += ["\\end{axis}", "\\end{tikzpicture}", ""]
     path = os.path.join(out_dir, f"{stem}.tex")

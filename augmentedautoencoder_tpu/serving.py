@@ -137,7 +137,6 @@ class PoseServer:
         slab, lengths = stack_codebooks(codebooks)
         slab_dtype = jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
         self._slab = jnp.asarray(slab, slab_dtype)
-        self._lengths = np.asarray(lengths)
         # tiny device constants hoisted so submit() enqueues no host->device
         # transfers beyond the crops themselves
         self._obj_dev = [jnp.asarray(o, jnp.int32) for o in range(len(self.classes))]

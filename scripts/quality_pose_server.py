@@ -177,11 +177,13 @@ def main() -> None:
         "precision_trained": args.precision,
         "icp": bool(args.icp),
         "per_class": {
+            # a never-scored class yields n=0 with null stats (np.median([])
+            # is NaN, which json.dump would emit as invalid JSON)
             cls: {
                 "n": len(v["re"]),
-                "median_re_deg": round(float(np.median(v["re"])), 2),
-                "re_recall@15deg": round(float(np.mean(np.array(v["re"]) < 15)), 3),
-                "median_te_mm": round(float(np.median(v["te"])), 2),
+                "median_re_deg": round(float(np.median(v["re"])), 2) if v["re"] else None,
+                "re_recall@15deg": round(float(np.mean(np.array(v["re"]) < 15)), 3) if v["re"] else None,
+                "median_te_mm": round(float(np.median(v["te"])), 2) if v["te"] else None,
             }
             for cls, v in errs.items()
         },

@@ -477,6 +477,55 @@ class TestEndToEnd:
         assert out.shape == (cfg.h, 2 * cfg.w, 3)
         assert out[:, cfg.w:].max() > 0  # estimate pane rendered
 
+    def test_aae_webcam_demo_cli(self, workspace, monkeypatch):
+        """The reference's live demo loop (test/aae_webcam.py) driven
+        hermetically: a fake capture serves a rendered view, the loop
+        estimates + re-renders it, 'q' quits, the stream is released."""
+        import cv2
+
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.cli import aae_webcam
+
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        frame, _ = dataset.renderer.render(
+            0, W, H, cfg.K, codebook.viewsphere[3],
+            np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+
+        class FakeCap:
+            def __init__(self, src):
+                self.released = False
+
+            def set(self, *a):
+                pass
+
+            def read(self):
+                return True, frame.copy()
+
+            def release(self):
+                self.released = True
+
+        caps, shown = {}, {}
+        monkeypatch.setattr(cv2, "VideoCapture",
+                            lambda src: caps.setdefault("c", FakeCap(src)))
+        monkeypatch.setattr(cv2, "imshow",
+                            lambda name, img: shown.__setitem__(
+                                name, np.asarray(img)))
+        # second displayed frame quits the loop
+        keys = iter([255, ord("q"), ord("q"), ord("q")])
+        monkeypatch.setattr(cv2, "waitKey", lambda ms: next(keys))
+        run_cli(aae_webcam, ["e2e_obj"], monkeypatch)
+
+        assert caps["c"].released
+        assert len(shown) == 2  # input pane + estimate pane
+        for img in shown.values():
+            assert img.size > 0 and np.max(img) > 0
+
     def test_resume_from_checkpoint(self, workspace, monkeypatch):
         from augmentedautoencoder_tpu.cli import ae_train
 

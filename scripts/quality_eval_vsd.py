@@ -68,9 +68,9 @@ MIN_N_VIEWS: {views}
 NUM_CYCLO: {cyclo}
 
 [Network]
-BATCH_NORMALIZATION: False
-AUXILIARY_MASK: False
-VARIATIONAL: 0
+BATCH_NORMALIZATION: {batch_norm}
+AUXILIARY_MASK: {aux_mask}
+VARIATIONAL: {variational}
 LOSS: L2
 BOOTSTRAP_RATIO: 4
 NORM_REGULARIZE: 0
@@ -249,6 +249,16 @@ def main() -> None:
                         help="REALISTIC_OCCLUSION max-occlusion fraction "
                              "(mask-bank pastes; synthesized bank when no "
                              ".bin ships)")
+    parser.add_argument("--aux_mask", action="store_true",
+                        help="AUXILIARY_MASK: train the decoder's 1-channel "
+                             "mask head alongside the reconstruction "
+                             "(reference decoder.py:68-75,134-142)")
+    parser.add_argument("--variational", type=float, default=0.0,
+                        help="VARIATIONAL: KL weight for the VAE head "
+                             "(reference encoder.py:70-94); 0 disables")
+    parser.add_argument("--batch_norm", action="store_true",
+                        help="BATCH_NORMALIZATION in encoder/decoder convs "
+                             "(reference encoder.py:45-56)")
     parser.add_argument("--instances", type=int, default=1,
                         help="object instances per image (multi-instance "
                              "regime: batched per-frame estimation + ICP)")
@@ -301,6 +311,9 @@ def main() -> None:
                     realistic_occlusion=args.realistic_occlusion,
                     neighbor_clutter=args.clutter,
                     neighbor_clutter_count=args.clutter_count,
+                    aux_mask=args.aux_mask,
+                    variational=args.variational,
+                    batch_norm=args.batch_norm,
                 )
             )
         t0 = time.time()
@@ -341,19 +354,28 @@ def main() -> None:
     te_errs = np.array([r["errors"]["te"] for r in results])
     vsd_errs = np.array([r["errors"]["vsd"] for r in results])
 
+    # Train-time knobs come from the workspace's ACTUAL cfg, not the CLI
+    # args: under --skip_train the args default, and earlier artifacts
+    # recorded e.g. neighbor_clutter=0.0 for a clutter-trained workspace.
+    from augmentedautoencoder_tpu.config import load_train_config
+
+    tc = load_train_config(os.path.join(ws, "cfg", "asym_obj.cfg"))
     summary = {
         "object": "asym_textured",
         "pipeline": "ae_train -> ae_embed -> ae_eval (CLI)",
         "icp": bool(args.icp),
-        "precision": args.precision,
+        "precision": tc.precision,
         "instances": args.instances,
         "gt_masks": bool(args.gt_masks),
-        "square_occlusion": bool(args.occlusion),
-        "realistic_occlusion": args.realistic_occlusion,
-        "neighbor_clutter": args.clutter,
-        "neighbor_clutter_count": args.clutter_count,
-        "iters": args.iters,
-        "codebook_size": args.views * args.cyclo,
+        "square_occlusion": bool(tc.square_occlusion),
+        "realistic_occlusion": tc.realistic_occlusion,
+        "neighbor_clutter": tc.neighbor_clutter,
+        "neighbor_clutter_count": tc.neighbor_clutter_count,
+        "auxiliary_mask": bool(tc.auxiliary_mask),
+        "variational": tc.variational,
+        "batch_norm": bool(tc.batch_normalization),
+        "iters": tc.num_iter,
+        "codebook_size": tc.embedding_size,
         "test_imgs": len(results),
         "median_est_time_s": round(float(np.median([r["time"] for r in results])), 3),
         "vsd_recall@0.3": scores["vsd"]["recall"],

@@ -477,6 +477,45 @@ class TestEndToEnd:
         assert out.shape == (cfg.h, 2 * cfg.w, 3)
         assert out[:, cfg.w:].max() > 0  # estimate pane rendered
 
+    def test_variant_pipeline_aux_mask_vae_bn(self, workspace, monkeypatch):
+        """Train -> embed -> infer with every optional [Network] head ON
+        (AUXILIARY_MASK + VARIATIONAL + BATCH_NORMALIZATION, reference
+        encoder.py:70-94 / decoder.py:68-75): pins the CLI + factory paths
+        for tuple decoder outputs and batch_stats restore."""
+        import re as _re
+
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.cli import ae_embed, ae_train
+
+        cfg_path = os.path.join(workspace, "cfg", "e2e_var.cfg")
+        base = open(os.path.join(workspace, "cfg", "e2e_obj.cfg")).read()
+        var = base
+        for k, v in (("AUXILIARY_MASK", "True"), ("VARIATIONAL", "1e-4"),
+                     ("BATCH_NORMALIZATION", "True")):
+            var = _re.sub(rf"{k}:.*", f"{k}: {v}", var)
+        assert var != base
+        with open(cfg_path, "w") as fh:
+            fh.write(var)
+
+        run_cli(ae_train, ["e2e_var"], monkeypatch)
+        run_cli(ae_embed, ["e2e_var", "--batch_size", "16"], monkeypatch)
+
+        codebook, dataset, decode = factory.build_codebook_from_name(
+            "e2e_var", return_dataset=True, return_decoder=True
+        )
+        n = dataset.embedding_size
+        assert codebook.embedding_normalized.shape == (n, 16)
+
+        batch, _ = dataset.render_embedding_image_batch(0, 8)
+        idcs = codebook.nearest_rotation(batch[0], return_idcs=True)
+        assert 0 <= int(idcs[0]) < n
+        # decode strips the mask head (factory returns reconstruction only)
+        z = codebook.test_embedding(batch[:2], normalized=False)
+        reconst = np.asarray(decode(z))
+        assert reconst.shape == (2, 32, 32, 3)
+        assert np.isfinite(reconst).all()
+        assert 0.0 <= reconst.min() and reconst.max() <= 1.0  # sigmoid output
+
     def test_aae_webcam_demo_cli(self, workspace, monkeypatch):
         """The reference's live demo loop (test/aae_webcam.py) driven
         hermetically: a fake capture serves a rendered view, the loop

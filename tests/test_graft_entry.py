@@ -50,24 +50,23 @@ class TestDryrunInProcess:
 
 @pytest.mark.slow
 class TestDryrunFromForeignPlatformParent:
-    def test_subprocess_fallback_from_platform_bound_parent(self):
-        """A parent whose jax is already bound to the session's default
-        platform (the real TPU under axon; a 1-device CPU elsewhere) cannot
-        host an 8-CPU-device mesh in-process — dryrun_multichip must detect
-        that and re-exec onto the virtual CPU mesh, then surface the child's
-        summary."""
+    def test_subprocess_fallback_from_unsteered_parent(self):
+        """A parent with jax imported but NOT steered to cpu-only (the
+        driver's environment: the axon sitecustomize defaults
+        jax_platforms to 'axon,cpu') must NOT have dryrun_multichip call
+        jax.devices() in-process — on a wedged TPU tunnel that HANGS
+        rather than raising (the recorded MULTICHIP_r01/r02 failure) — and
+        must instead re-exec onto the virtual CPU mesh and surface the
+        child's summary. Deliberately does NOT pre-bind the parent: the
+        test must pass whether the TPU is healthy or wedged."""
         env = dict(os.environ)
-        # undo the conftest's CPU forcing so the parent binds the session
-        # default platform, exactly like the driver's environment
+        # undo the conftest's CPU forcing so the parent sees the session
+        # default platform config, exactly like the driver's environment
         env.pop("JAX_PLATFORMS", None)
         env.pop("XLA_FLAGS", None)
         code = (
             "import jax\n"
-            "try:\n"
-            "    devs = jax.devices()\n"
-            "    print('parent-bound', devs[0].platform, len(devs))\n"
-            "except Exception as e:\n"
-            "    print('parent-bind-failed', type(e).__name__)\n"
+            "print('parent platforms:', jax.config.jax_platforms)\n"
             "import sys; sys.path.insert(0, %r)\n"
             "import __graft_entry__ as g\n"
             "g.dryrun_multichip(8)\n" % REPO

@@ -185,6 +185,60 @@ class TestAnalysisPlots:
         assert p2.endswith("R_err_occlusion.png")
         assert (tmp_path / "R_err_occlusion.tex").exists()
 
+    def test_visibility_bins_include_outer_edges(self, tmp_path):
+        import re as _re
+
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        # visib exactly 0.0 and 1.0 (common in real BOP gt_info) must land
+        # in the first/last bin — counts sum to the estimate count
+        rng = np.random.RandomState(1)
+        vis = np.concatenate([[0.0, 1.0], rng.rand(48)])
+        errs = np.concatenate([[3.0, 4.0], rng.rand(48)])
+        plots.plot_error_vs_visibility(errs, vis, "vsd", str(tmp_path))
+        tex = (tmp_path / "vsd_occlusion.tex").read_text()
+        counts = eval(_re.search(r"bin counts (\[[0-9, ]*\])", tex).group(1))
+        assert sum(counts) == 50
+
+    def test_boxplot_tikz_whiskers_match_matplotlib(self, tmp_path):
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation.tikz import write_boxplot_tikz
+
+        vals = np.concatenate([5 + np.arange(20) * 0.1, [80.0]])  # one flier
+        write_boxplot_tikz([vals], [0.5], "flier_box", str(tmp_path))
+        tex = (tmp_path / "flier_box.tex").read_text()
+        # 1.5-IQR whiskers (matplotlib default), the outlier as a mark
+        assert "upper whisker=80" not in tex
+        assert "coordinates {(0,80)}" in tex
+
+    def test_saved_figures_are_rgb(self, tmp_path):
+        import matplotlib.image as mpimg
+        import numpy as np
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        # BGR-blue input (channel 0) must come out blue-dominant in the
+        # written PNG (RGB channel 2) for both writers
+        x = np.zeros((16, 8, 8, 3), np.float32)
+        x[..., 0] = 1.0
+        p = plots.plot_reconstruction_grid(x, x, str(tmp_path))
+        px = mpimg.imread(p)[1, 1]
+        assert px[2] > px[0]
+
+        scene = np.zeros((32, 32, 3), np.uint8)
+        scene[..., 0] = 200
+        out = str(tmp_path / "ov.png")
+        plots.plot_scene_with_estimate(
+            scene, np.zeros_like(scene, np.float32), [2, 2, 8, 8], 0.5, 1, out
+        )
+        img = mpimg.imread(out)
+        h, w = img.shape[:2]
+        c = img[h // 2, w // 2]
+        assert c[2] > c[0]
+
     def test_error_vs_visibility_with_empty_bins(self, tmp_path):
         from augmentedautoencoder_tpu.evaluation import plots
 

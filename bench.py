@@ -43,7 +43,47 @@ N_VIEWS = 92232
 LATENT = 128
 
 
+def _backend_usable(timeout_s: float = 180.0) -> bool:
+    """Probe the session's default jax backend in a DISPOSABLE subprocess.
+
+    A wedged TPU tunnel makes backend init HANG (not raise) — the recorded
+    MULTICHIP_r01/r02 failure mode. Probing in a child bounded by a timeout
+    keeps this process from ever binding a dead tunnel, so the bench can
+    fail loud with one honest JSON line instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "print('probe:', float(np.asarray((jnp.arange(8.0) * 2).sum())))"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return p.returncode == 0 and "probe: 56.0" in p.stdout
+    except Exception:
+        return False
+
+
 def main() -> None:
+    if not _backend_usable():
+        print(
+            json.dumps(
+                {
+                    "metric": "encode+codebook-NN crops/sec/chip",
+                    "value": 0.0,
+                    "unit": "crops/s",
+                    "vs_baseline": 0.0,
+                    "error": "backend unreachable (device probe timed out - "
+                             "wedged TPU tunnel?); not a perf regression, "
+                             "see PERF.md for the recorded figure",
+                }
+            )
+        )
+        return
+
     import jax
     import jax.numpy as jnp
 

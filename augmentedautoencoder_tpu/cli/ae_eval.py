@@ -94,7 +94,17 @@ def main() -> None:
     out = evaluator.run(eval_dir)
 
     if eval_cfg.compute_plots and out["results"]:
+        # per-figure toggles mirror the reference's [PLOT] section
+        # (auto_pose/eval/ae_eval.py:256-276): the cum_*_error_hist keys
+        # gate that error type's hist + cumulative-recall curves
+        hist_toggle = {
+            "te": eval_cfg.cum_t_error_hist,
+            "re": eval_cfg.cum_r_error_hist,
+            "vsd": eval_cfg.cum_vsd_error_hist,
+        }
         for et in eval_cfg.error_types:
+            if not hist_toggle.get(et, True):
+                continue
             errs = [r.errors[et] for r in out["results"] if et in r.errors]
             if errs:
                 plots.plot_error_hist(errs, et, eval_dir)
@@ -104,10 +114,22 @@ def main() -> None:
             plots.plot_scores_bar(out["scores"], eval_dir)
         if eval_cfg.embedding_pca and codebook.embedding_normalized is not None:
             plots.plot_embedding_pca(np.asarray(codebook.embedding_normalized), eval_dir)
+        if eval_cfg.viewsphere:
+            # reference eval_plots.py:292-299: scatter of each embedded
+            # view's camera-frame z-axis, one point per view (cyclo
+            # rotations share a viewpoint, so subsample like ae_eval.py:260)
+            views = dataset.viewsphere_for_embedding[:: train_cfg.num_cyclo]
+            plots.plot_viewsphere(views[:, 2, :], eval_dir)
 
         # occlusion-binned analysis (reference eval_plots.py:540-662):
         # vsd-vs-visibility and rectified-re-vs-visibility boxplots
+        occl_toggle = {
+            "vsd": eval_cfg.vsd_occlusion,
+            "re": eval_cfg.r_error_occlusion,
+        }
         for et in ("vsd", "re"):
+            if not occl_toggle[et]:
+                continue
             pairs = [
                 (r.errors[et], r.visib_fract)
                 for r in out["results"]
@@ -120,7 +142,7 @@ def main() -> None:
         # scene overlay with the (raw + refined) estimate
         # (reference eval_plots.py:210-265, written to disk)
         ov = out.get("overlay_sample")
-        if ov is not None and renderer is not None:
+        if ov is not None and renderer is not None and eval_cfg.scene_with_estimate:
             W, H = ov["dims"]
             obj_render, _ = renderer.render(
                 0, W, H, ov["K"], ov["R_raw"], ov["t_raw"], 10.0, 10000.0,
@@ -139,14 +161,20 @@ def main() -> None:
             )
 
         # reconstruction grid + nearest-neighbor strips
-        # (reference eval_plots.py:37-72)
+        # (reference eval_plots.py:37-72; RECONSTRUCTION and
+        # RECONSTRUCTION_TEST_BATCH both map onto the one batched grid here,
+        # so either key keeps it — the reference's per-view RECONSTRUCTION
+        # figure is the same content rendered one view at a time)
         sample = out.get("sample_crops") or []
-        if sample:  # tiles() pads the 4x4 grid when fewer than 16
+        want_grid = eval_cfg.reconstruction or eval_cfg.reconstruction_test_batch
+        if sample and (want_grid or eval_cfg.nearest_neighbors):
+            # tiles() pads the 4x4 grid when fewer than 16
             x = np.stack(sample[:16]).astype(np.float32) / 255.0
-            z = codebook.test_embedding(x, normalized=False).reshape(len(x), -1)
-            reconst = np.asarray(decode(z))
-            plots.plot_reconstruction_grid(x, reconst, eval_dir)
-            if renderer is not None:
+            if want_grid:
+                z = codebook.test_embedding(x, normalized=False).reshape(len(x), -1)
+                reconst = np.asarray(decode(z))
+                plots.plot_reconstruction_grid(x, reconst, eval_dir)
+            if renderer is not None and eval_cfg.nearest_neighbors:
                 rows = []
                 for xi in x[:4]:
                     Rs_nn = codebook.nearest_rotation((xi * 255).astype(np.uint8), top_n=8)

@@ -45,11 +45,26 @@ class EvalConfig:
     top_n_eval: int = 1
     top_n: int = 1
 
-    # [PLOT]
+    # [PLOT] — per-figure toggles mirroring the reference's eval template
+    # (auto_pose/ae/cfg_eval/eval_template.cfg:32-44; consumed by
+    # auto_pose/eval/ae_eval.py:183-276). COMPUTE_PLOTS is this rebuild's
+    # master switch; the per-plot keys default to the emission behaviour
+    # the repo always had (analysis figures on, expensive PCA off).
     compute_plots: bool = True
     embedding_pca: bool = False
     viewsphere: bool = False
     reconstruction: bool = False
+    nearest_neighbors: bool = True
+    scene_with_estimate: bool = True
+    cum_t_error_hist: bool = True
+    cum_r_error_hist: bool = True
+    cum_vsd_error_hist: bool = True
+    vsd_occlusion: bool = True
+    r_error_occlusion: bool = True
+    reconstruction_test_batch: bool = True
+    # parsed for cfg compatibility; the reference's animate_embedding_path
+    # is an empty stub (eval_plots.py:664-665), so this is a no-op here too
+    animate_embedding_pca: bool = False
 
 
 def load_eval_config(path_or_parser) -> EvalConfig:
@@ -108,4 +123,21 @@ def load_eval_config(path_or_parser) -> EvalConfig:
     cfg.embedding_pca = get("PLOT", "EMBEDDING_PCA", cfg.embedding_pca)
     cfg.viewsphere = get("PLOT", "VIEWSPHERE", cfg.viewsphere)
     cfg.reconstruction = get("PLOT", "RECONSTRUCTION", cfg.reconstruction)
+    cfg.nearest_neighbors = get("PLOT", "NEAREST_NEIGHBORS", cfg.nearest_neighbors)
+    cfg.scene_with_estimate = get(
+        "PLOT", "SCENE_WITH_ESTIMATE", cfg.scene_with_estimate
+    )
+    cfg.cum_t_error_hist = get("PLOT", "CUM_T_ERROR_HIST", cfg.cum_t_error_hist)
+    cfg.cum_r_error_hist = get("PLOT", "CUM_R_ERROR_HIST", cfg.cum_r_error_hist)
+    cfg.cum_vsd_error_hist = get(
+        "PLOT", "CUM_VSD_ERROR_HIST", cfg.cum_vsd_error_hist
+    )
+    cfg.vsd_occlusion = get("PLOT", "VSD_OCCLUSION", cfg.vsd_occlusion)
+    cfg.r_error_occlusion = get("PLOT", "R_ERROR_OCCLUSION", cfg.r_error_occlusion)
+    cfg.reconstruction_test_batch = get(
+        "PLOT", "RECONSTRUCTION_TEST_BATCH", cfg.reconstruction_test_batch
+    )
+    cfg.animate_embedding_pca = get(
+        "PLOT", "ANIMATE_EMBEDDING_PCA", cfg.animate_embedding_pca
+    )
     return cfg

@@ -490,3 +490,34 @@ COMPUTE_PLOTS: True
             # starting from the exact pose, refinement must stay near it
             assert r["errors"]["re"] < 5.0
             assert r["errors"]["te"] < 20.0
+
+        # ---- third run: the reference's per-figure [PLOT] toggles
+        # (eval_template.cfg:32-44 / ae_eval.py:183-276) actually gate
+        # emission — everything off except VIEWSPHERE
+        with open(os.path.join(ws_path, "cfg_eval", "eval.cfg"), "w") as fh:
+            fh.write(eval_cfg_text + """
+VIEWSPHERE: True
+NEAREST_NEIGHBORS: False
+SCENE_WITH_ESTIMATE: False
+CUM_T_ERROR_HIST: False
+CUM_R_ERROR_HIST: False
+CUM_VSD_ERROR_HIST: False
+VSD_OCCLUSION: False
+R_ERROR_OCCLUSION: False
+RECONSTRUCTION_TEST_BATCH: False
+ANIMATE_EMBEDDING_PCA: True
+""")
+        run(ae_eval, ["evalobj", "synth_eval_toggles"])
+        tog_dir = os.path.join(
+            ws_path, "experiments", "evalobj", "eval", "synth_eval_toggles", "synth"
+        )
+        assert os.path.exists(os.path.join(tog_dir, "results.json"))
+        assert os.path.exists(os.path.join(tog_dir, "viewsphere.png"))
+        # the scores bar rides the master COMPUTE_PLOTS switch
+        assert os.path.exists(os.path.join(tog_dir, "recall_by_metric.png"))
+        for off in (
+            "error_hist_re.png", "vsd_occlusion.png", "R_err_occlusion.png",
+            "scene_with_estimate.png", "reconstruction_imgs.png",
+            "nearest_neighbors.png",
+        ):
+            assert not os.path.exists(os.path.join(tog_dir, off)), off

@@ -24,7 +24,8 @@ detections one session.run at a time):
     readback (the bench.py pattern, PERF.md "tunnel" notes).
 
 Per-class crop batches are padded to a fixed `max_dets_per_class` so the
-jitted step has static shapes (one compile).
+jitted step has static shapes (one compile); classes with more detections
+dispatch multiple fixed-shape chunks — nothing is dropped.
 """
 
 from __future__ import annotations
@@ -40,8 +41,8 @@ from .pose.interfaces import BoundingBox, PoseEstimate
 
 @dataclasses.dataclass
 class _FrameHandle:
-    vals: Dict[str, object]  # per present class: device array (B,)
-    idcs: Dict[str, object]  # per present class: device array (B,)
+    vals: Dict[str, object]  # per present class: list of (max_dets,) device arrays
+    idcs: Dict[str, object]  # per present class: list of (max_dets,) device arrays
     by_class: Dict[str, List[int]]
     box_xywhs: List[Optional[List[float]]]
     bboxes: Sequence[BoundingBox]
@@ -208,42 +209,50 @@ class PoseServer:
                 box_xywhs.append(None)
                 continue
             box_xywhs.append(xywh)
-            if len(by_class.setdefault(cls, [])) < self.max_dets:
-                by_class[cls].append(j)
+            by_class.setdefault(cls, []).append(j)
 
-        # one padded crop batch + one encode + one slab query PER PRESENT
+        # padded crop batches + one encode + one slab query per PRESENT
         # class — frames pay for the classes they contain, not for every
-        # configured class
+        # configured class. Classes with more than max_dets detections
+        # dispatch ceil(n/max_dets) fixed-shape chunks (same compiled step;
+        # nothing is silently dropped).
         want_icp = depth_img is not None and self._est._use_icp
         vals: Dict[str, object] = {}
         idcs: Dict[str, object] = {}
         host_crops: Dict[str, np.ndarray] = {}
         for cls, det_idcs in by_class.items():
             oi = self.classes.index(cls)
-            crops = np.zeros(
-                (self.max_dets, self.cfg0.h, self.cfg0.w, self.cfg0.c),
-                np.uint8,
-            )
-            for k, j in enumerate(det_idcs):
-                crops[k] = extract_square_patch_centered(
-                    color_img,
-                    box_xywhs[j],
-                    self._est.pad_factors[cls],
-                    resize=self._est.patch_sizes[cls],
-                    interpolation="linear",
-                    black_borders=True,
+            chunk_vals, chunk_idcs, chunk_crops = [], [], []
+            for start in range(0, len(det_idcs), self.max_dets):
+                chunk = det_idcs[start:start + self.max_dets]
+                crops = np.zeros(
+                    (self.max_dets, self.cfg0.h, self.cfg0.w, self.cfg0.c),
+                    np.uint8,
                 )
-            z = self._encode(self._params_by_class[cls], jnp.asarray(crops))
-            v, i = self._query(z, oi)
-            for a in (v, i):  # overlap device->host copy with later frames
-                try:
-                    a.copy_to_host_async()
-                except Exception:
-                    pass
-            vals[cls] = v
-            idcs[cls] = i
+                for k, j in enumerate(chunk):
+                    crops[k] = extract_square_patch_centered(
+                        color_img,
+                        box_xywhs[j],
+                        self._est.pad_factors[cls],
+                        resize=self._est.patch_sizes[cls],
+                        interpolation="linear",
+                        black_borders=True,
+                    )
+                z = self._encode(self._params_by_class[cls], jnp.asarray(crops))
+                v, i = self._query(z, oi)
+                for a in (v, i):  # overlap device->host copy with later frames
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
+                chunk_vals.append(v)
+                chunk_idcs.append(i)
+                if want_icp:
+                    chunk_crops.append(crops)
+            vals[cls] = chunk_vals
+            idcs[cls] = chunk_idcs
             if want_icp:
-                host_crops[cls] = crops
+                host_crops[cls] = np.concatenate(chunk_crops, axis=0)
         return _FrameHandle(
             vals=vals, idcs=idcs, by_class=by_class, box_xywhs=box_xywhs,
             bboxes=bboxes, camK=np.asarray(camK, np.float64),
@@ -259,7 +268,10 @@ class PoseServer:
         results: List[Optional[PoseEstimate]] = [None] * len(h.bboxes)
         for cls, det_idcs in h.by_class.items():
             oi = self.classes.index(cls)
-            cls_idcs = np.asarray(h.idcs[cls])
+            # chunked dispatch: concatenate the per-chunk (max_dets,) index
+            # arrays; row c*max_dets+k is detection k of chunk c, so the
+            # flattened order matches det_idcs
+            cls_idcs = np.concatenate([np.asarray(a) for a in h.idcs[cls]])
             cfg = self._est.all_train_cfgs[cls]
             K_train, radius = cfg.K, cfg.radius
             K_test = h.camK

@@ -368,6 +368,22 @@ class TestEndToEnd:
         R_est = out[0].trafo[:3, :3]
         np.testing.assert_allclose(R_est @ R_est.T, np.eye(3), atol=1e-5)
 
+        # crowded frame OVERFLOWS max_dets_per_class: a server with
+        # max_dets=2 must chunk (not silently drop) and match the roomy
+        # server detection-for-detection (regression: pre-round-3 the
+        # extras vanished from the results)
+        crowded = [
+            BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                        ymax=(y + h) / H, classes={"sphere": 0.9})
+            for _ in range(5)
+        ]
+        small = PoseServer(str(test_cfg), max_dets_per_class=2)
+        got = small.process(crowded, bgr, cfg.K)
+        want = server.process(crowded, bgr, cfg.K)  # max_dets=4: 2 chunks
+        assert len(got) == len(want) == 5
+        for p_w, p_g in zip(want, got):
+            np.testing.assert_allclose(p_g.trafo, p_w.trafo, atol=1e-6)
+
     def test_pose_server_bf16_serving(self, workspace, monkeypatch, tmp_path):
         """bf16 serving (bf16 convs + bf16 codebook slab, f32 latent head
         and f32 cosine accumulation — the recipe bf16 training validated)
@@ -420,10 +436,11 @@ class TestEndToEnd:
             # were A/B'd at 100% agreement, scripts/bench_serving_bf16.py).
             # Same view -> identical pose; different view -> the two max
             # cosines must be within bf16 resolution of each other.
-            i32 = int(np.asarray(h32.idcs["sphere"])[0])
-            i16 = int(np.asarray(h16.idcs["sphere"])[0])
-            v32 = float(np.asarray(h32.vals["sphere"])[0])
-            v16 = float(np.asarray(h16.vals["sphere"])[0])
+            # handle internals hold per-chunk (max_dets,) arrays
+            i32 = int(np.asarray(h32.idcs["sphere"][0])[0])
+            i16 = int(np.asarray(h16.idcs["sphere"][0])[0])
+            v32 = float(np.asarray(h32.vals["sphere"][0])[0])
+            v16 = float(np.asarray(h16.vals["sphere"][0])[0])
             if i16 == i32:
                 np.testing.assert_allclose(p16[0].trafo, p32[0].trafo, atol=1e-5)
             else:

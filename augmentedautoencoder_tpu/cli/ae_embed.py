@@ -51,7 +51,9 @@ def main() -> None:
 
         _, train_y = load_dsprites_training_images(cfg.model_path)
         emb_imgs = train_y[::1024][40:80].astype(np.float32) / 255.0
-        z = np.asarray(encode(jnp.asarray(emb_imgs)))
+        # np.array (copy): np.asarray of a jax array is a READ-ONLY view,
+        # and the in-place normalize below would raise
+        z = np.array(encode(jnp.asarray(emb_imgs)))
         z /= np.linalg.norm(z, axis=1, keepdims=True)
         mgr = CheckpointManager(paths["checkpoint_dir"])
         path = mgr.add_codebook(z, None, step=args.at_step)

@@ -96,6 +96,105 @@ class TestDsprites:
         idx = np.dot([0, 1, 5, 39, 31, 31], bases)
         assert idx == 1 * (6 * 40 * 32 * 32) + 5 * (40 * 32 * 32) + 39 * 32 * 32 + 31 * 32 + 31
 
+    def test_dsprites_cli_train_embed(self, tmp_path, monkeypatch):
+        """MODEL: dsprites end to end through the REAL CLIs (reference
+        ae_train.py:88-90 / ae_embed.py:84-85): train the orientation AE on
+        a synthetic dsprites npz, then embed the 40-image orientation
+        codebook into the checkpoint."""
+        import sys
+
+        # dsprites-format npz, real latent grid, tiny 8x8 binary images
+        latents_sizes = np.array([1, 3, 6, 40, 32, 32])
+        n = int(latents_sizes.prod())
+        rng = np.random.RandomState(0)
+        imgs = (rng.rand(n, 8, 8) > 0.7).astype(np.uint8)
+        grids = np.meshgrid(*[np.arange(s) for s in latents_sizes], indexing="ij")
+        latents_classes = np.stack([g.reshape(-1) for g in grids], axis=1)
+        npz = tmp_path / "dsprites.npz"
+        np.savez(
+            npz, imgs=imgs, latents_classes=latents_classes,
+            latents_values=latents_classes.astype(np.float32),
+            metadata=np.array({"latents_sizes": latents_sizes}),
+        )
+
+        ws_path = str(tmp_path / "ws")
+        monkeypatch.setenv("AE_WORKSPACE_PATH", ws_path)
+        from augmentedautoencoder_tpu.cli import ae_embed, ae_init_workspace, ae_train
+
+        def run(mod, argv):
+            monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+            mod.main()
+
+        run(ae_init_workspace, [])
+        with open(os.path.join(ws_path, "cfg", "sprites.cfg"), "w") as fh:
+            fh.write(f"""
+[Paths]
+MODEL_PATH: {npz}
+BACKGROUND_IMAGES_GLOB:
+
+[Dataset]
+MODEL: dsprites
+H: 8
+W: 8
+C: 1
+RADIUS: 1
+RENDER_DIMS: (8, 8)
+K: [1, 0, 4, 0, 1, 4, 0, 0, 1]
+VERTEX_SCALE: 1
+ANTIALIASING: 1
+PAD_FACTOR: 1.2
+CLIP_NEAR: 10
+CLIP_FAR: 10000
+NOOF_TRAINING_IMGS: 64
+NOOF_BG_IMGS: 1
+
+[Augmentation]
+CODE: Sequential([])
+
+[Embedding]
+EMBED_BB: False
+MIN_N_VIEWS: 40
+NUM_CYCLO: 1
+
+[Network]
+BATCH_NORMALIZATION: False
+AUXILIARY_MASK: False
+VARIATIONAL: 0
+LOSS: L2
+BOOTSTRAP_RATIO: 4
+NORM_REGULARIZE: 0
+LATENT_SPACE_SIZE: 8
+NUM_FILTER: [8, 16]
+STRIDES: [2, 2]
+KERNEL_SIZE_ENCODER: 5
+KERNEL_SIZE_DECODER: 5
+
+[Training]
+OPTIMIZER: Adam
+NUM_ITER: 10
+BATCH_SIZE: 8
+LEARNING_RATE: 1e-3
+SAVE_INTERVAL: 10
+
+[Queue]
+NUM_THREADS: 1
+QUEUE_SIZE: 2
+""")
+        run(ae_train, ["sprites"])
+        run(ae_embed, ["sprites"])
+
+        # embedded orientation codebook: 40 rows (train_y[::1024][40:80]),
+        # unit-norm, saved inside the checkpoint dir
+        from augmentedautoencoder_tpu.training.checkpoint import CheckpointManager
+
+        ckpt_dir = os.path.join(
+            ws_path, "experiments", "sprites", "checkpoints"
+        )
+        payload = CheckpointManager(ckpt_dir).restore()
+        z = np.asarray(payload["embedding_normalized"])
+        assert z.shape == (40, 8)
+        np.testing.assert_allclose(np.linalg.norm(z, axis=1), 1.0, rtol=1e-5)
+
 
 class TestReports:
     def test_latex_report(self, tmp_path):

@@ -38,7 +38,12 @@ fi
 run_arm() {
   local name="$1" ws="$2"; shift 2
   echo "=== arm: ${name} (fresh train) ==="
-  rm -rf "${ws}"
+  # both workspaces were PRE-STAGED on CPU while the tunnel was wedged
+  # (cfg + rendered tmp_datasets cache + own bopdata_inst3 scenes), so do
+  # NOT wipe them — the harness re-inits deterministically and reuses the
+  # md5-keyed dataset cache; only train/embed/eval hit the TPU. Drop any
+  # half-written checkpoints so ae_train cannot auto-resume a stale run.
+  rm -rf "${ws}/experiments"
   python scripts/quality_eval_vsd.py "$@" --instances 3 --icp \
     --workspace "${ws}" \
     --out "scripts/quality_vsd_asym_${name}_inst3_icp.json"

@@ -151,3 +151,84 @@ class TestWebcamVideoStream:
         n = fake["cap"].n
         time.sleep(0.03)
         assert fake["cap"].n == n
+
+
+class TestForegroundContourDetector:
+    """Shipped classical detector (pose/detectors.py): the out-of-the-box
+    --detector for demos, replacing the reference's trained RetinaNet/SSD
+    wiring for foreground-separable scenes."""
+
+    def _det(self, **kw):
+        from augmentedautoencoder_tpu.pose.detectors import ForegroundContourDetector
+
+        return ForegroundContourDetector(class_name="obj", min_area=20, **kw)
+
+    def test_two_blobs_boxes_and_scores(self):
+        img = np.zeros((100, 200, 3), np.uint8)
+        img[10:30, 20:60] = 200          # solid 20x40 blob, fill ratio 1.0
+        img[60:80, 120:160] = 200        # blob with a hole: fill ratio 0.75
+        img[65:75, 130:150] = 0
+        det = self._det()
+        boxes = det.process_raw(img)
+        assert len(boxes) == 2
+        solid = boxes[0]                 # sorted by fill-ratio score
+        assert solid.classes["obj"] > boxes[1].classes["obj"]
+        assert abs(solid.xmin * 200 - 20) <= 1 and abs(solid.xmax * 200 - 60) <= 1
+        assert abs(solid.ymin * 100 - 10) <= 1 and abs(solid.ymax * 100 - 30) <= 1
+
+    def test_min_area_and_speckle_rejected(self):
+        img = np.zeros((50, 50, 3), np.uint8)
+        img[5, 5] = 255                   # single-pixel speckle
+        img[20:23, 20:23] = 255           # 9 px < min_area
+        assert self._det().process_raw(img) == []
+
+    def test_depth_image_mode(self):
+        depth = np.zeros((60, 60), np.float32)
+        depth[10:40, 15:45] = 700.0
+        boxes = self._det().process_raw(depth)
+        assert len(boxes) == 1
+        b = boxes[0]
+        assert abs(b.xmin * 60 - 15) <= 1 and abs(b.ymax * 60 - 40) <= 1
+
+    def test_background_subtraction(self):
+        bg = np.full((40, 40, 3), 90, np.uint8)
+        det = self._det()
+        det.set_background(bg)
+        img = bg.copy()
+        img[10:30, 10:30] = 160           # brighter than bg by > thresh
+        boxes = det.process_raw(img)
+        assert len(boxes) == 1
+        # the whole frame is brighter than thresh vs BLACK — without the
+        # background reference this would be one full-frame box
+        det2 = self._det()
+        full = det2.process_raw(img)
+        assert len(full) == 1 and full[0].xmax - full[0].xmin > 0.9
+
+    def test_loadable_by_dotted_path_and_matches_renderer_bbox(self):
+        from augmentedautoencoder_tpu.geometry.view_sampler import (
+            calc_2d_bbox,
+            viewsphere_rotations,
+        )
+        from augmentedautoencoder_tpu.renderer import Renderer
+        from augmentedautoencoder_tpu.renderer.procedural import (
+            make_textured_asymmetric,
+        )
+
+        det = load_detector(
+            "augmentedautoencoder_tpu.pose.detectors:"
+            'ForegroundContourDetector:{"class_name": "sphere", "thresh": 5}'
+        )
+        mesh = make_textured_asymmetric(subdivisions=2, radius=60.0)
+        renderer = Renderer([], backend="numpy", meshes=[mesh])
+        K = np.array([[300.0, 0, 64], [0, 300.0, 48], [0, 0, 1]])
+        R = viewsphere_rotations(12, 4, 300.0)[3]
+        bgr, depth = renderer.render(
+            0, 128, 96, K, R, np.array([0.0, 0.0, 300.0]), 10, 10000,
+            random_light=False,
+        )
+        boxes = det.process(bgr)
+        assert len(boxes) == 1 and boxes[0].best_class == "sphere"
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = calc_2d_bbox(xs, ys, (128, 96))
+        got = boxes[0].to_xywh(128, 96)
+        np.testing.assert_allclose(got, [x, y, w, h], atol=3)

@@ -87,7 +87,7 @@ def main() -> None:
             frame, boxes = det_queue.get()
             H, W = frame.shape[:2]
             if args.camK:
-                camK = np.fromstring(args.camK, sep=",").reshape(3, 3)
+                camK = np.array([float(v) for v in args.camK.split(",")]).reshape(3, 3)
             else:
                 camK = np.array([[W, 0, W / 2], [0, W, H / 2], [0, 0, 1.0]])
             poses = estimator.process(bboxes=boxes, color_img=frame, camK=camK)

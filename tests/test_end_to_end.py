@@ -582,6 +582,73 @@ class TestEndToEnd:
         for img in shown.values():
             assert img.size > 0 and np.max(img) > 0
 
+    def test_detector_webcam_pose_demo_cli(self, workspace, monkeypatch, tmp_path):
+        """The 2-stage detector->pose demo (reference
+        test/aae_retina_webcam_pose.py role) driven hermetically OUT OF THE
+        BOX: fake capture serves a rendered view on black background, the
+        SHIPPED ForegroundContourDetector finds it, the estimator poses it,
+        'q' quits."""
+        import cv2
+
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.cli import detector_webcam_pose
+
+        test_cfg = tmp_path / "m3_demo.cfg"
+        test_cfg.write_text(
+            "[auto_pose]\n"
+            "camPose = False\n"
+            "upright = False\n"
+            "topk = 1\n"
+            "color_format = bgr\n"
+            "color_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj'}\n"
+        )
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        frame, _ = dataset.renderer.render(
+            0, W, H, cfg.K, codebook.viewsphere[4],
+            np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+
+        class FakeCap:
+            def __init__(self, src):
+                self.released = False
+
+            def set(self, *a):
+                pass
+
+            def read(self):
+                return True, frame.copy()
+
+            def release(self):
+                self.released = True
+
+        caps, shown = {}, []
+        monkeypatch.setattr(cv2, "VideoCapture",
+                            lambda src: caps.setdefault("c", FakeCap(src)))
+        monkeypatch.setattr(cv2, "imshow",
+                            lambda name, img: shown.append(np.asarray(img)))
+        keys = iter([255, ord("q"), ord("q"), ord("q")])
+        monkeypatch.setattr(cv2, "waitKey", lambda ms: next(keys))
+        run_cli(
+            detector_webcam_pose,
+            [str(test_cfg), "--detector",
+             "augmentedautoencoder_tpu.pose.detectors:"
+             'ForegroundContourDetector:{"class_name": "sphere", "thresh": 5}',
+             "--camK", ",".join(str(v) for v in np.asarray(cfg.K).ravel())],
+            monkeypatch,
+        )
+        assert caps["c"].released
+        assert len(shown) == 2
+        # the overlay frame differs from the raw render: green detection
+        # rectangle + pose text were drawn
+        assert not np.array_equal(shown[-1], frame)
+
     def test_resume_from_checkpoint(self, workspace, monkeypatch):
         from augmentedautoencoder_tpu.cli import ae_train
 

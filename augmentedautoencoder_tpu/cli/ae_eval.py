@@ -167,13 +167,26 @@ def main() -> None:
         # figure is the same content rendered one view at a time)
         sample = out.get("sample_crops") or []
         want_grid = eval_cfg.reconstruction or eval_cfg.reconstruction_test_batch
-        if sample and (want_grid or eval_cfg.nearest_neighbors):
+        if sample and (
+            want_grid or eval_cfg.nearest_neighbors or eval_cfg.animate_embedding_pca
+        ):
             # tiles() pads the 4x4 grid when fewer than 16
             x = np.stack(sample[:16]).astype(np.float32) / 255.0
-            if want_grid:
+            if want_grid or eval_cfg.animate_embedding_pca:
                 z = codebook.test_embedding(x, normalized=False).reshape(len(x), -1)
+            if want_grid:
                 reconst = np.asarray(decode(z))
                 plots.plot_reconstruction_grid(x, reconst, eval_dir)
+            if (
+                eval_cfg.animate_embedding_pca
+                and codebook.embedding_normalized is not None
+            ):
+                # working implementation of the reference's EMPTY stub
+                # (eval_plots.py:664-665)
+                plots.animate_embedding_path(
+                    np.asarray(codebook.embedding_normalized), np.asarray(z),
+                    eval_dir,
+                )
             if renderer is not None and eval_cfg.nearest_neighbors:
                 rows = []
                 for xi in x[:4]:

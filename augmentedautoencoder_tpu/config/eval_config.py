@@ -62,8 +62,8 @@ class EvalConfig:
     vsd_occlusion: bool = True
     r_error_occlusion: bool = True
     reconstruction_test_batch: bool = True
-    # parsed for cfg compatibility; the reference's animate_embedding_path
-    # is an empty stub (eval_plots.py:664-665), so this is a no-op here too
+    # the reference's animate_embedding_path is an empty stub
+    # (eval_plots.py:664-665); here it writes a real embedding_path.gif
     animate_embedding_pca: bool = False
 
 

@@ -89,6 +89,52 @@ def plot_embedding_pca(
     return path
 
 
+def animate_embedding_path(
+    embedding: np.ndarray,
+    test_codes: np.ndarray,
+    out_dir: str,
+    fps: int = 4,
+    max_frames: int = 60,
+) -> str:
+    """Animated PCA trajectory of the eval crops' latent codes
+    (embedding_path.gif).
+
+    The reference declares this figure but ships an EMPTY STUB
+    (eval_plots.py:664-665: `def animate_embedding_path(..): pass`); this
+    is a working implementation: the codebook's 2-component PCA cloud as
+    the backdrop, with the test-sequence codes projected into the same
+    basis and traced frame by frame (path line + current-position marker).
+    """
+    plt = _plt()
+    from matplotlib import animation
+
+    x = np.asarray(embedding, np.float64)
+    mean = x.mean(axis=0)
+    x = x - mean
+    _, _, Vt = np.linalg.svd(x, full_matrices=False)
+    proj = x @ Vt[:2].T
+    tc = (np.asarray(test_codes, np.float64) - mean) @ Vt[:2].T
+    tc = tc[:max_frames]
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.scatter(proj[:, 0], proj[:, 1], s=1, c=np.arange(len(proj)),
+               cmap="viridis", alpha=0.4)
+    (path_line,) = ax.plot([], [], "r-", lw=1.5)
+    (head,) = ax.plot([], [], "rx", markersize=10)
+    ax.set_title("test-sequence path through the embedding (PCA-2)")
+
+    def draw(i):
+        path_line.set_data(tc[: i + 1, 0], tc[: i + 1, 1])
+        head.set_data(tc[i : i + 1, 0], tc[i : i + 1, 1])
+        return path_line, head
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(tc), blit=True)
+    path = os.path.join(out_dir, "embedding_path.gif")
+    anim.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def plot_viewsphere(pts: np.ndarray, out_dir: str) -> str:
     plt = _plt()
     fig = plt.figure(figsize=(6, 5))

@@ -266,6 +266,23 @@ class TestAnalysisPlots:
     """Occlusion-binned boxplots, scene overlay, reconstruction grids
     (reference eval_plots.py:37-72, 210-265, 540-662)."""
 
+    def test_animate_embedding_path_gif(self, tmp_path):
+        """Working implementation of the reference's EMPTY animator stub
+        (eval_plots.py:664-665): multi-frame GIF, one frame per test code,
+        capped at max_frames."""
+        from PIL import Image
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        rng = np.random.RandomState(0)
+        emb = rng.randn(200, 16)
+        codes = rng.randn(12, 16)
+        p = plots.animate_embedding_path(emb, codes, str(tmp_path))
+        gif = Image.open(p)
+        assert gif.n_frames == 12
+        p2 = plots.animate_embedding_path(emb, codes, str(tmp_path), max_frames=5)
+        assert Image.open(p2).n_frames == 5
+
     def test_error_vs_visibility_boxplots_and_tex(self, tmp_path):
         import numpy as np
 

@@ -513,6 +513,12 @@ ANIMATE_EMBEDDING_PCA: True
         )
         assert os.path.exists(os.path.join(tog_dir, "results.json"))
         assert os.path.exists(os.path.join(tog_dir, "viewsphere.png"))
+        # ANIMATE_EMBEDDING_PCA: real multi-frame GIF (the reference's
+        # function is an empty stub)
+        from PIL import Image
+
+        gif = Image.open(os.path.join(tog_dir, "embedding_path.gif"))
+        assert getattr(gif, "n_frames", 1) == 3  # one per eval crop
         # the scores bar rides the master COMPUTE_PLOTS switch
         assert os.path.exists(os.path.join(tog_dir, "recall_by_metric.png"))
         for off in (

@@ -58,4 +58,8 @@ run_arm() {
 run_arm vae /tmp/aae_vsd_vae --variational 1e-4
 run_arm bn  /tmp/aae_vsd_bn  --batch_norm
 
+# while the tunnel is demonstrably healthy, also record an in-session
+# headline bench figure (min-of-5 + spread)
+python bench.py | tee /tmp/bench_after_arms.json
+
 echo "done — record both arms in PERF.md next to the AUXILIARY_MASK study"

@@ -111,6 +111,42 @@ class TestSafeEval:
         v = safe_eval("1.2*np.random.rand()")
         assert 0.0 <= v <= 1.2
 
+    def test_randomized_equivalence_with_python_eval(self):
+        """Property check over the cfg grammar: for 200 generated
+        deterministic expressions (numbers, lists/tuples, nesting, the
+        arithmetic the reference cfgs use), safe_eval == eval. Guards the
+        AST whitelist against silently diverging from the reference's
+        semantics as it grows."""
+        rng = np.random.RandomState(7)
+
+        def gen_number():
+            choice = rng.randint(4)
+            if choice == 0:
+                return str(rng.randint(-1000, 1000))
+            if choice == 1:
+                return f"{rng.uniform(-50, 50):.4f}"
+            if choice == 2:
+                return f"{rng.uniform(1e-6, 1.0):.2e}"
+            return f"{rng.randint(1, 2000)}/{rng.randint(1, 9)}"
+
+        def gen_expr(depth=0):
+            choice = rng.randint(5 if depth < 2 else 2)
+            if choice == 0:
+                return gen_number()
+            if choice == 1:
+                op = rng.choice(["+", "-", "*"])
+                return f"({gen_number()} {op} {gen_number()})"
+            items = ", ".join(gen_expr(depth + 1) for _ in range(rng.randint(1, 5)))
+            if choice == 2:
+                return f"[{items}]"
+            if choice == 3:
+                return f"({items},)"
+            return f"-{gen_number()}"
+
+        for _ in range(200):
+            expr = gen_expr()
+            assert safe_eval(expr) == eval(expr), expr  # noqa: S307 (trusted gen)
+
 
 class TestTrainConfig:
     def test_reference_template_loads(self, cfg_file):

@@ -101,6 +101,20 @@ class TestPoseVisualizer:
         cy, cx = int(ys.mean()), int(xs.mean())
         assert out[cy, cx, 1] >= img[cy, cx, 1]
 
+    def test_draw_box3d_for_mesh(self):
+        from augmentedautoencoder_tpu.visualization.box3d import draw_box3d_for_mesh
+
+        mesh = make_icosphere(2, 60.0)
+        img = np.zeros((136, 180, 3), np.uint8)
+        R = np.eye(3)
+        t = np.array([0.0, 0.0, 400.0])
+        out = draw_box3d_for_mesh(img.copy(), mesh, K, R, t)
+        assert (out > 0).any()
+        # projected box must contain the sphere's projected center
+        ys, xs = np.nonzero(out.any(axis=2))
+        cx, cy = K[0, 2], K[1, 2]
+        assert xs.min() < cx < xs.max() and ys.min() < cy < ys.max()
+
 
 @pytest.mark.e2e
 class TestDetectorDataGenCLIs:

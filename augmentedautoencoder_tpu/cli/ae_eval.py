@@ -182,9 +182,15 @@ def main() -> None:
                 and codebook.embedding_normalized is not None
             ):
                 # working implementation of the reference's EMPTY stub
-                # (eval_plots.py:664-665)
+                # (eval_plots.py:664-665). The backdrop is the UNIT-NORM
+                # codebook cloud, so the trajectory codes must be unit-
+                # normalized too or the path lands outside the PCA axes.
+                z_unit = np.asarray(z, np.float64)
+                z_unit = z_unit / np.maximum(
+                    np.linalg.norm(z_unit, axis=1, keepdims=True), 1e-12
+                )
                 plots.animate_embedding_path(
-                    np.asarray(codebook.embedding_normalized), np.asarray(z),
+                    np.asarray(codebook.embedding_normalized), z_unit,
                     eval_dir,
                 )
             if renderer is not None and eval_cfg.nearest_neighbors:

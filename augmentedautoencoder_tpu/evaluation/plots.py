@@ -66,21 +66,36 @@ def plot_cumulative_error(
     return path
 
 
+def _pca_project(
+    embedding: np.ndarray,
+    test_codes: Optional[np.ndarray],
+    n_components: int,
+) -> tuple:
+    """Center the codebook, PCA it via SVD (no sklearn dependency), and
+    project the optional test codes into the SAME basis (same mean, same
+    right-singular vectors). Shared by plot_embedding_pca and
+    animate_embedding_path so the projection math cannot diverge."""
+    x = np.asarray(embedding, np.float64)
+    mean = x.mean(axis=0)
+    x = x - mean
+    _, _, Vt = np.linalg.svd(x, full_matrices=False)
+    proj = x @ Vt[:n_components].T
+    tc = None
+    if test_codes is not None:
+        tc = (np.asarray(test_codes, np.float64) - mean) @ Vt[:n_components].T
+    return proj, tc
+
+
 def plot_embedding_pca(
     embedding: np.ndarray, out_dir: str, test_codes: Optional[np.ndarray] = None
 ) -> str:
     """3-component PCA of the codebook (eval_plots.py:267-289)."""
     plt = _plt()
-    x = np.asarray(embedding, np.float64)
-    x = x - x.mean(axis=0)
-    # PCA via SVD (no sklearn dependency)
-    _, _, Vt = np.linalg.svd(x, full_matrices=False)
-    proj = x @ Vt[:3].T
+    proj, tc = _pca_project(embedding, test_codes, 3)
     fig = plt.figure(figsize=(6, 5))
     ax = fig.add_subplot(111, projection="3d")
     ax.scatter(proj[:, 0], proj[:, 1], proj[:, 2], s=1, c=np.arange(len(proj)), cmap="viridis")
-    if test_codes is not None:
-        tc = (np.asarray(test_codes) - np.asarray(embedding).mean(axis=0)) @ Vt[:3].T
+    if tc is not None:
         ax.scatter(tc[:, 0], tc[:, 1], tc[:, 2], s=20, c="red", marker="x")
     ax.set_title("codebook embedding PCA-3")
     path = os.path.join(out_dir, "embedding_pca.png")
@@ -108,12 +123,7 @@ def animate_embedding_path(
     plt = _plt()
     from matplotlib import animation
 
-    x = np.asarray(embedding, np.float64)
-    mean = x.mean(axis=0)
-    x = x - mean
-    _, _, Vt = np.linalg.svd(x, full_matrices=False)
-    proj = x @ Vt[:2].T
-    tc = (np.asarray(test_codes, np.float64) - mean) @ Vt[:2].T
+    proj, tc = _pca_project(embedding, test_codes, 2)
     tc = tc[:max_frames]
 
     fig, ax = plt.subplots(figsize=(6, 5))
@@ -121,6 +131,15 @@ def animate_embedding_path(
                cmap="viridis", alpha=0.4)
     (path_line,) = ax.plot([], [], "r-", lw=1.5)
     (head,) = ax.plot([], [], "rx", markersize=10)
+    # axes must cover BOTH clouds: FuncAnimation set_data never rescales,
+    # so a trajectory outside the backdrop's limits would silently render
+    # off-screen (the bug fixed in cli/ae_eval.py — callers must pass
+    # unit-normalized codes, but keep the figure honest regardless)
+    both = np.concatenate([proj, tc], axis=0)
+    lo, hi = both.min(axis=0), both.max(axis=0)
+    pad = 0.05 * (hi - lo + 1e-9)
+    ax.set_xlim(lo[0] - pad[0], hi[0] + pad[0])
+    ax.set_ylim(lo[1] - pad[1], hi[1] + pad[1])
     ax.set_title("test-sequence path through the embedding (PCA-2)")
 
     def draw(i):

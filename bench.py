@@ -31,6 +31,7 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import re
 import time
 
 import numpy as np
@@ -67,13 +68,22 @@ def _backend_usable(timeout_s: float = 180.0) -> bool:
         return False
 
 
-def _last_recorded() -> dict:
+def _last_recorded(here: str | None = None) -> dict:
     """Newest committed BENCH_r*.json with a real figure, for the error line."""
     import glob
     import os
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p: str) -> int:
+        # numeric round suffix, NOT lexicographic: "BENCH_r9.json" must not
+        # beat "BENCH_r10.json" (and r99 must not beat r100)
+        m = re.search(r"BENCH_r0*(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no)
+    for path in reversed(paths):
         try:
             with open(path) as fh:
                 rec = json.load(fh)

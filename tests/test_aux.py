@@ -283,6 +283,25 @@ class TestAnalysisPlots:
         p2 = plots.animate_embedding_path(emb, codes, str(tmp_path), max_frames=5)
         assert Image.open(p2).n_frames == 5
 
+    def test_animate_embedding_path_trajectory_visible_at_any_scale(self, tmp_path):
+        """Regression: the axes must cover BOTH the backdrop and the
+        trajectory — codes at 100x the backdrop's scale used to render
+        entirely off-axes (FuncAnimation never rescales), producing a GIF
+        that animated an empty backdrop."""
+        from PIL import Image
+
+        from augmentedautoencoder_tpu.evaluation import plots
+
+        rng = np.random.RandomState(0)
+        emb = rng.randn(200, 16)  # unit-ish backdrop cloud
+        codes = 100.0 * rng.randn(8, 16)  # wildly out-of-scale trajectory
+        p = plots.animate_embedding_path(emb, codes, str(tmp_path))
+        gif = Image.open(p)
+        gif.seek(gif.n_frames - 1)  # last frame: full path drawn
+        arr = np.asarray(gif.convert("RGB"), np.int16)
+        red = (arr[..., 0] > 150) & (arr[..., 1] < 100) & (arr[..., 2] < 100)
+        assert red.sum() > 20, "red trajectory not visible in the frame"
+
     def test_error_vs_visibility_boxplots_and_tex(self, tmp_path):
         import numpy as np
 
@@ -593,3 +612,22 @@ class TestBenchErrorLine:
         # the repo ships BENCH_r01/r02 with real figures -> last_good present
         assert rec["last_good"]["value"] > 0
         assert rec["last_good"]["round"].startswith("BENCH_r")
+
+    def test_last_recorded_sorts_by_round_number_not_lexicographically(
+        self, tmp_path
+    ):
+        """BENCH_r9 must not beat BENCH_r10 (nor r99 beat r100): the
+        last_good figure must come from the numerically newest round."""
+        import bench
+
+        for rnd, val in [("r9", 111.0), ("r10", 222.0), ("r100", 333.0)]:
+            (tmp_path / f"BENCH_{rnd}.json").write_text(
+                json.dumps({"parsed": {"value": val, "unit": "crops/s"}})
+            )
+        rec = bench._last_recorded(str(tmp_path))
+        assert rec == {"round": "BENCH_r100.json", "value": 333.0}
+        # zero-value rounds (wedged-tunnel error lines) are skipped
+        (tmp_path / "BENCH_r101.json").write_text(
+            json.dumps({"parsed": {"value": 0.0, "error": "wedged"}})
+        )
+        assert bench._last_recorded(str(tmp_path))["value"] == 333.0

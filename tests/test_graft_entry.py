@@ -38,6 +38,52 @@ class TestDryrunInProcess:
         delta = float(out.split("max_param_delta=")[1].split()[0])
         assert delta < 1e-4
 
+    def test_entry_steers_to_cpu_when_backend_probe_fails(self, monkeypatch):
+        """entry() is the driver's compile check; a wedged TPU tunnel makes
+        default-backend init HANG (not raise), so when the disposable probe
+        subprocess times out, entry must steer this process to CPU before
+        first backend use instead of hanging the driver."""
+        sys.path.insert(0, REPO)
+        try:
+            import __graft_entry__ as g
+        finally:
+            sys.path.remove(REPO)
+
+        def timed_out(*a, **k):
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=180.0)
+
+        monkeypatch.setattr(subprocess, "run", timed_out)
+        g._steer_to_cpu_if_backend_wedged()
+        import jax
+
+        assert str(jax.config.jax_platforms).strip() == "cpu"
+
+    def test_entry_probe_healthy_is_a_noop(self, monkeypatch):
+        """When the probe answers, entry must leave the platform choice to
+        the driver (no steering)."""
+        sys.path.insert(0, REPO)
+        try:
+            import __graft_entry__ as g
+        finally:
+            sys.path.remove(REPO)
+        calls = []
+
+        class P:
+            returncode = 0
+            stdout = "probe: 56.0\n"
+
+        def probe_ok(*a, **k):
+            calls.append(a)
+            return P()
+
+        import jax
+
+        monkeypatch.setattr(subprocess, "run", probe_ok)
+        before = jax.config.jax_platforms
+        g._steer_to_cpu_if_backend_wedged()
+        assert calls, "probe subprocess was not launched"
+        assert jax.config.jax_platforms == before
+
     def test_impl_rejects_too_few_devices(self):
         sys.path.insert(0, REPO)
         try:

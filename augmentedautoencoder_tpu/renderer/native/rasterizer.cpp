@@ -537,24 +537,43 @@ int aae_render(int mesh_id, int W, int H, const double* K, const double* R,
       keep.resize(m.n_faces);
       fz.resize(m.n_faces);
     }
-    const double csign = static_cast<double>(m.cull_sign);
+    // Backface culling is output-identical only while the camera is OUTSIDE
+    // the mesh: if the near plane slices the object (some valid vertex at
+    // z < near), the visible interior consists of BACK faces, which GL —
+    // the reference never enables GL_CULL_FACE — and the numpy backend both
+    // render. Detection is fused into the pre-pass (the z's are already in
+    // registers, so the common case costs nothing); on detection the
+    // pre-pass reruns once with culling off — pathological renders only.
+    double csign = static_cast<double>(m.cull_sign);
     float z_lo = 1e30f, z_hi = -1e30f;
-    for (int fi = 0; fi < m.n_faces; ++fi) {
-      const int32_t* f = &m.faces[3 * fi];
-      const VGeo& g0 = geo[f[0]];
-      const VGeo& g1 = geo[f[1]];
-      const VGeo& g2 = geo[f[2]];
-      if (!(g0.z > 1e-9 && g1.z > 1e-9 && g2.z > 1e-9)) continue;
-      const double area =
-          (g1.u - g0.u) * (g2.v - g0.v) - (g1.v - g0.v) * (g2.u - g0.u);
-      if (std::fabs(area) < 1e-12) continue;
-      if (area * csign > 0.0) continue;
-      const float z = static_cast<float>(g0.z + g1.z + g2.z);
-      keep[n_front] = fi;
-      fz[n_front] = z;
-      ++n_front;
-      z_lo = std::min(z_lo, z);
-      z_hi = std::max(z_hi, z);
+    for (bool rerun = true; rerun;) {
+      rerun = false;
+      n_front = 0;
+      z_lo = 1e30f;
+      z_hi = -1e30f;
+      for (int fi = 0; fi < m.n_faces; ++fi) {
+        const int32_t* f = &m.faces[3 * fi];
+        const VGeo& g0 = geo[f[0]];
+        const VGeo& g1 = geo[f[1]];
+        const VGeo& g2 = geo[f[2]];
+        if (!(g0.z > 1e-9 && g1.z > 1e-9 && g2.z > 1e-9)) continue;
+        if (csign != 0.0 &&
+            (g0.z < near_p || g1.z < near_p || g2.z < near_p)) {
+          csign = 0.0;  // near-slice: back faces become visible
+          rerun = true;
+          break;
+        }
+        const double area =
+            (g1.u - g0.u) * (g2.v - g0.v) - (g1.v - g0.v) * (g2.u - g0.u);
+        if (std::fabs(area) < 1e-12) continue;
+        if (area * csign > 0.0) continue;
+        const float z = static_cast<float>(g0.z + g1.z + g2.z);
+        keep[n_front] = fi;
+        fz[n_front] = z;
+        ++n_front;
+        z_lo = std::min(z_lo, z);
+        z_hi = std::max(z_hi, z);
+      }
     }
     const float scale = z_hi > z_lo ? (kBuckets - 1) / (z_hi - z_lo) : 0.0f;
     int counts[kBuckets + 1] = {0};

@@ -88,6 +88,61 @@ class TestNativeBackend:
         diff = np.abs(bgr_a[same_mask].astype(int) - bgr_b[same_mask].astype(int))
         assert diff.max() <= 2  # rounding differences only
 
+    def _agree(self, mesh, t, near=50.0, shading="vertex"):
+        from augmentedautoencoder_tpu.renderer.native import native_available
+
+        if not native_available():
+            pytest.skip("no C++ toolchain")
+        k = np.array([[280.0, 0, 64], [0, 280, 64], [0, 0, 1.0]])
+        ren_np = Renderer([], backend="numpy", meshes=[mesh], shading=shading)
+        ren_cc = Renderer([], backend="native", meshes=[mesh], shading=shading)
+        R = transform.random_rotation_matrix(np.array([0.3, 0.6, 0.9]))[:3, :3]
+        bgr_a, d_a = ren_np.render(0, 128, 128, k, R, t, near, 4000.0)
+        bgr_b, d_b = ren_cc.render(0, 128, 128, k, R, t, near, 4000.0)
+        both = (d_a > 0) & (d_b > 0)
+        union = ((d_a > 0) | (d_b > 0)).sum()
+        if union:
+            assert both.sum() / union > 0.995
+            np.testing.assert_allclose(d_a[both], d_b[both], rtol=1e-5)
+            diff = np.abs(bgr_a[both].astype(int) - bgr_b[both].astype(int))
+            assert diff.max() <= 2
+        return union
+
+    def test_near_plane_slice_agrees(self):
+        """When the near plane slices the object, GL (reference: GL_CULL_FACE
+        never enabled) shows the interior BACK faces. The native backend's
+        backface culling must switch itself off for such renders — it used
+        to cull everything while numpy rendered the interior."""
+        from augmentedautoencoder_tpu.renderer.procedural import make_textured_asymmetric
+
+        mesh = make_textured_asymmetric()
+        for shading in ("vertex", "cad"):
+            # radius ~60 at z=80 with near=50: front hemisphere clipped
+            union = self._agree(mesh, np.array([0, 0, 80.0]), shading=shading)
+            assert union > 1000, "near-slice view should be non-empty"
+
+    def test_degenerate_faces_agree(self, sphere_mesh):
+        """Zero-area (duplicate-vertex) triangles must be skipped identically
+        by both backends."""
+        from augmentedautoencoder_tpu.renderer.mesh import Mesh
+
+        f = sphere_mesh.faces
+        deg = np.stack([f[:, 0], f[:, 0], f[:, 1]], 1)[:16]
+        mesh = Mesh(
+            vertices=sphere_mesh.vertices,
+            normals=sphere_mesh.normals,
+            faces=np.concatenate([f, deg]),
+            colors=sphere_mesh.colors,
+        )
+        union = self._agree(mesh, np.array([0, 0, 600.0]))
+        assert union > 500
+
+    def test_offscreen_and_behind_camera_empty_in_both(self, sphere_mesh):
+        """Fully off-screen / behind-camera objects render empty frames in
+        both backends (no crash, no stray fragments)."""
+        assert self._agree(sphere_mesh, np.array([5000.0, 0, 600.0])) == 0
+        assert self._agree(sphere_mesh, np.array([0, 0, -300.0])) == 0
+
     def test_cube_faces_flat_shaded(self):
         cube = make_cube(100.0)
         ren = Renderer([], backend="numpy", meshes=[cube])

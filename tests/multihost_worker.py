@@ -9,7 +9,13 @@ distributed story at all, SURVEY.md §2.1).
 Prints `LOSS <step> <value>` lines; the test asserts both processes agree
 (the gradient all-reduce crossed the process boundary coherently).
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> \
+           [local_devices]
+
+With num_processes=1 and local_devices=8 the same script doubles as the
+single-host control arm: the test asserts the 2x4 cross-process loss
+stream matches the 1x8 single-process one (same seeds, same global mesh
+size — the process layout must not change the training math).
 """
 
 import os
@@ -18,7 +24,7 @@ import sys
 PID = int(sys.argv[1])
 NPROC = int(sys.argv[2])
 PORT = int(sys.argv[3])
-LOCAL_DEVICES = 4
+LOCAL_DEVICES = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

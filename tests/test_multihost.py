@@ -52,3 +52,27 @@ def test_two_process_sharded_training_step():
     assert len(l0) == 3
     # the all-reduced loss must be identical on both hosts
     assert l0 == l1, f"process loss streams diverged:\n{l0}\n{l1}"
+
+    # control arm: the SAME global 8-device mesh as ONE process. The
+    # process layout (2x4 with gloo cross-process all-reduce vs 1x8
+    # in-process) must not change the training math.
+    ctrl = subprocess.run(
+        [sys.executable, WORKER, "0", "1", str(_free_port()), "8"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert ctrl.returncode == 0, f"control worker failed:\n{ctrl.stdout}"
+    lc = losses(ctrl.stdout)
+    assert len(lc) == 3
+    vals_2x4 = [float(line.split()[2]) for line in l0]
+    vals_1x8 = [float(line.split()[2]) for line in lc]
+    import numpy as np
+
+    np.testing.assert_allclose(
+        vals_2x4, vals_1x8, rtol=1e-5,
+        err_msg="2-process x 4-device training diverged from the "
+                "1-process x 8-device control",
+    )

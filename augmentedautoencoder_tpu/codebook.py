@@ -45,6 +45,31 @@ def normalize_uint8(x: Array) -> Array:
     return x.astype(jnp.float32) / 255.0
 
 
+# Deterministic multi-crop TTA pattern: relative (dx, dy) bbox-center
+# offsets, entry 0 = the detection itself. Offsets stay inside the training
+# augmentation's MAX_REL_OFFSET=0.2 envelope (data/dataset.py:226-228), so
+# every jittered crop is in-distribution for the encoder; w/h are untouched
+# (training never jitters scale, and the bbox used for the depth estimate
+# is the original detection either way).
+_TTA_OFFSETS = (
+    (0.0, 0.0),
+    (0.10, 0.0), (-0.10, 0.0), (0.0, 0.10), (0.0, -0.10),
+    (0.07, 0.07), (-0.07, -0.07), (0.07, -0.07), (-0.07, 0.07),
+    (0.15, 0.0), (-0.15, 0.0), (0.0, 0.15), (0.0, -0.15),
+    (0.11, 0.11), (-0.11, -0.11), (0.11, -0.11),
+)
+
+
+def tta_jittered_bboxes(bb_xywh: Sequence[float], n: int) -> np.ndarray:
+    """`n` deterministically jittered copies of an xywh bbox (first = the
+    original). Crop each with the caller's patch extractor and pass the
+    stack to `auto_pose6d_batch(..., tta=n)` — detection-major order."""
+    if n > len(_TTA_OFFSETS):
+        raise ValueError(f"tta_crops max is {len(_TTA_OFFSETS)}, got {n}")
+    x, y, w, h = (float(v) for v in bb_xywh)
+    return np.array([[x + dx * w, y + dy * h, w, h] for dx, dy in _TTA_OFFSETS[:n]])
+
+
 class Codebook:
     """A per-object codebook bound to an encoder."""
 
@@ -243,6 +268,58 @@ class Codebook:
             Rs_est[i] = R_corr_y @ R_corr_x @ Rs_est[i]
         return Rs_est, ts_est
 
+    def _aggregate_topk(
+        self, cos: np.ndarray, k: int, upright: bool, agg_angle_deg: float
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Top-k pose aggregation over a (B, N) cosine matrix.
+
+        For each row: take the k most similar codebook entries, keep the
+        candidates within `agg_angle_deg` of the top-1 rotation (so distant
+        modes — e.g. near-symmetric views — never get averaged), and blend
+        the survivors' quaternions and rendered bboxes with similarity-
+        proportional weights. The viewsphere is a 92k-bin SO(3) quantization
+        (SURVEY §2: 2562 views x 36 in-plane); averaging the local
+        similarity neighborhood interpolates between bins, recovering
+        precision the argmax discards. Returns (Rs (B,3,3),
+        rendered_bbs (B,4), top1 idcs (B,))."""
+        from .geometry.transform import (
+            matrices_from_quaternions,
+            quaternions_from_matrices,
+        )
+
+        if upright:
+            # restrict candidates to the in-plane-rotation-free stride
+            # (reference codebook.py:66 semantics, extended to k > 1)
+            sub = cos[:, :: self.num_cyclo]
+            k = min(k, sub.shape[1])
+            part = np.argpartition(-sub, k - 1, axis=1)[:, :k] * self.num_cyclo
+        else:
+            k = min(k, cos.shape[1])
+            part = np.argpartition(-cos, k - 1, axis=1)[:, :k]  # (B, k)
+        sims = np.take_along_axis(cos, part, axis=1)
+        order = np.argsort(-sims, axis=1)
+        part = np.take_along_axis(part, order, axis=1)
+        sims = np.take_along_axis(sims, order, axis=1)
+        top1 = part[:, 0]
+
+        quats = quaternions_from_matrices(self.viewsphere[part])  # (B,k,4)
+        # sign-align to each row's top-1 so the linear blend is well-posed
+        dots = np.sum(quats * quats[:, :1], axis=-1)
+        quats = np.where(dots[..., None] < 0, -quats, quats)
+        # angular distance to top-1: 2*arccos(|<q, q0>|) <= agg_angle_deg
+        inlier = np.abs(dots) >= np.cos(np.radians(agg_angle_deg) / 2.0)
+        # similarity-proportional weights above the row's k-th similarity;
+        # the top-1 always has positive weight (strictly best) or, in the
+        # all-equal degenerate case, the +eps keeps it selected alone
+        w = (sims - sims[:, -1:] + 1e-9) * inlier
+        w /= w.sum(axis=1, keepdims=True)
+
+        q_mean = (quats * w[..., None]).sum(axis=1)
+        Rs = matrices_from_quaternions(q_mean)
+        rbbs = np.asarray(self.embed_obj_bbs[part], dtype=np.float64)
+        rendered_bbs = (rbbs * w[..., None]).sum(axis=1)
+        return Rs, rendered_bbs, top1
+
     def auto_pose6d_batch(
         self,
         xs: Union[np.ndarray, Array],
@@ -251,6 +328,9 @@ class Codebook:
         train_cfg: TrainConfig,
         depth_pred: Optional[np.ndarray] = None,
         upright: bool = False,
+        topk_aggregate: int = 1,
+        tta: int = 1,
+        agg_angle_deg: float = 20.0,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Vectorized 6D pose for a batch of crops: ONE encode dispatch, one
         fused top-1 query, numpy-vectorized translation + rotation correction.
@@ -258,22 +338,45 @@ class Codebook:
         xs: (B,H,W,C); bbs: (B,4) xywh in pixels. Returns (Rs (B,3,3),
         ts (B,3), idcs (B,)). Replaces the reference's per-crop session.run
         loop (ae_pose_estimator.py:143-229).
+
+        Test-time aggregation (new capability — the reference always takes
+        the single argmax, codebook.py:64-71):
+          * tta > 1: xs holds `tta` jittered crops PER detection
+            (detection-major: xs[i*tta:(i+1)*tta] belong to bbs[i], see
+            `tta_jittered_bboxes`). Their cosine-similarity rows are
+            averaged on device before the argmax — a clutter-shifted crop
+            votes, it does not decide alone.
+          * topk_aggregate > 1: blend the top-k codebook matches
+            (quaternion + rendered-bbox averaging, `_aggregate_topk`).
         """
         self._require_embedding()
         if self.embed_obj_bbs is None:
             raise RuntimeError("codebook has no embedded bboxes (EMBED_BB off)")
-        xb = self._prep(xs)
-        z = self._encode(xb)
-        if upright:
-            cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
-            idcs = np.argmax(cos[:, :: self.num_cyclo], axis=1) * self.num_cyclo
-        else:
-            _, idcs = cosine_top1(z, self.embedding_normalized)
-            idcs = np.asarray(idcs)
-
-        Rs = self.viewsphere[idcs].copy()
-        rendered_bbs = np.asarray(self.embed_obj_bbs[idcs], dtype=np.float64)
         bbs = np.asarray(bbs, dtype=np.float64)
+        xb = self._prep(xs)
+        if tta > 1 and xb.shape[0] != len(bbs) * tta:
+            raise ValueError(
+                f"tta={tta} expects {len(bbs) * tta} crops for {len(bbs)} "
+                f"detections, got {xb.shape[0]}"
+            )
+        z = self._encode(xb)
+
+        if tta > 1 or topk_aggregate > 1:
+            cos = cosine_similarities(z, self.embedding_normalized)
+            if tta > 1:
+                cos = cos.reshape(len(bbs), tta, -1).mean(axis=1)
+            Rs, rendered_bbs, idcs = self._aggregate_topk(
+                np.asarray(cos), max(topk_aggregate, 1), upright, agg_angle_deg
+            )
+        else:
+            if upright:
+                cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
+                idcs = np.argmax(cos[:, :: self.num_cyclo], axis=1) * self.num_cyclo
+            else:
+                _, idcs = cosine_top1(z, self.embedding_normalized)
+                idcs = np.asarray(idcs)
+            Rs = self.viewsphere[idcs].copy()
+            rendered_bbs = np.asarray(self.embed_obj_bbs[idcs], dtype=np.float64)
 
         K_train = train_cfg.K
         radius = train_cfg.radius

@@ -29,6 +29,12 @@ class EvalConfig:
     single_instance: bool = True
     icp: bool = False
     gt_masks: bool = False
+    # test-time aggregation (new capability; 1/1 = strict reference parity,
+    # the single-argmax path): blend the top-k codebook matches / average
+    # cosine votes over n jittered crops per detection (codebook.py
+    # `_aggregate_topk` / `tta_jittered_bboxes`)
+    topk_aggregate: int = 1
+    tta_crops: int = 1
 
     # [EVALUATION]
     compute_errors: bool = True
@@ -105,6 +111,8 @@ def load_eval_config(path_or_parser) -> EvalConfig:
     cfg.single_instance = get("BBOXES", "SINGLE_INSTANCE", cfg.single_instance)
     cfg.icp = get("BBOXES", "ICP", cfg.icp)
     cfg.gt_masks = get("BBOXES", "GT_MASKS", cfg.gt_masks)
+    cfg.topk_aggregate = get("BBOXES", "TOPK_AGGREGATE", cfg.topk_aggregate)
+    cfg.tta_crops = get("BBOXES", "TTA_CROPS", cfg.tta_crops)
 
     cfg.compute_errors = get("EVALUATION", "COMPUTE_ERRORS", cfg.compute_errors)
     cfg.evaluate_errors = get("EVALUATION", "EVALUATE_ERRORS", cfg.evaluate_errors)

@@ -17,6 +17,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..codebook import tta_jittered_bboxes
 from ..config import TrainConfig
 from ..config.eval_config import EvalConfig
 from ..data.dataset import extract_square_patch
@@ -69,6 +70,19 @@ class Evaluator:
             with open(eval_cfg.detections_path) as fh:
                 self._detections = _json.load(fh)
 
+    def _extract_crops(self, img: np.ndarray, bb) -> List[np.ndarray]:
+        """1 (plain) or TTA_CROPS (jitter-vote) square patches for one
+        detection; entry 0 is always the unjittered crop."""
+        n = max(self.eval_cfg.tta_crops, 1)
+        bbs = tta_jittered_bboxes(bb, n) if n > 1 else [bb]
+        return [
+            extract_square_patch(
+                img, b, self.train_cfg.pad_factor,
+                resize=(self.train_cfg.w, self.train_cfg.h),
+            )
+            for b in bbs
+        ]
+
     # ------------------------------------------------------------- pose
     def estimate_image(
         self, loader: SceneLoader, scene_id: int, im_id: int
@@ -116,16 +130,13 @@ class Evaluator:
                 return []
             crops_d, bbs_d, scores = [], [], []
             for d in dets:
-                crop = extract_square_patch(
-                    img, d["bbox"], self.train_cfg.pad_factor,
-                    resize=(self.train_cfg.w, self.train_cfg.h),
-                )
-                crops_d.append(crop)
+                crops_d.extend(self._extract_crops(img, d["bbox"]))
                 bbs_d.append(d["bbox"])
                 scores.append(float(d.get("score", 1.0)))
             t0 = time.time()
             Rs, ts, _ = self.codebook.auto_pose6d_batch(
-                np.stack(crops_d), np.stack(bbs_d), K_test, self.train_cfg
+                np.stack(crops_d), np.stack(bbs_d), K_test, self.train_cfg,
+                topk_aggregate=ec.topk_aggregate, tta=max(ec.tta_crops, 1),
             )
             aae_time = time.time() - t0
             for k in range(len(dets)):
@@ -138,7 +149,7 @@ class Evaluator:
                 )
             return results
 
-        crops, bbs, gt_idcs = [], [], []
+        crops, crops_all, bbs, gt_idcs = [], [], [], []
         for gi, gt in gts:
             bb = gt.bbox_obj
             if bb is None and self.renderer is not None:
@@ -163,11 +174,9 @@ class Evaluator:
                 m = loader.load_mask_visib(im_id, all_gts[gi][0])
                 if m is not None:
                     src_img = img * m[..., None].astype(img.dtype)
-            crop = extract_square_patch(
-                src_img, bb, self.train_cfg.pad_factor,
-                resize=(self.train_cfg.w, self.train_cfg.h),
-            )
-            crops.append(crop)
+            det_crops = self._extract_crops(src_img, bb)
+            crops.append(det_crops[0])  # unjittered: figures + ICP clouds
+            crops_all.extend(det_crops)
             bbs.append(bb)
             gt_idcs.append(gi)
 
@@ -175,8 +184,10 @@ class Evaluator:
             return []
 
         t0 = time.time()
+        tta = max(ec.tta_crops, 1)
         Rs, ts, idcs = self.codebook.auto_pose6d_batch(
-            np.stack(crops), np.stack(bbs), K_test, self.train_cfg
+            np.stack(crops_all), np.stack(bbs), K_test, self.train_cfg,
+            topk_aggregate=ec.topk_aggregate, tta=tta,
         )
         aae_time = time.time() - t0
 
@@ -211,8 +222,9 @@ class Evaluator:
             if hasattr(self.icp_handle, "refine_batch"):
                 Rs, ts = self.icp_handle.refine_batch(
                     depth_crops, Rs, ts, K_test, (W, H),
-                    codebook=self.codebook, det_imgs=crops,
+                    codebook=self.codebook, det_imgs=crops_all,
                     det_bbs=np.stack(bbs), train_cfg=self.train_cfg,
+                    topk_aggregate=ec.topk_aggregate, tta=tta,
                 )
             else:  # custom handle exposing only per-estimate refine()
                 Rs, ts = list(Rs), list(ts)

@@ -100,6 +100,53 @@ def quaternion_from_matrix(M: np.ndarray) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
+def quaternions_from_matrices(Rs: np.ndarray) -> np.ndarray:
+    """Batched quaternions (w, x, y, z) from rotation matrices (..., 3, 3).
+
+    Vectorized Shepperd pivot selection: the four candidate constructions
+    (one per largest diagonal term) are all evaluated, then the numerically
+    safest is selected per matrix. Agrees with `quaternion_from_matrix` up
+    to the overall quaternion sign.
+    """
+    R = np.asarray(Rs, dtype=np.float64)
+    lead = R.shape[:-2]
+    R = R.reshape(-1, 3, 3)
+    r00, r01, r02 = R[:, 0, 0], R[:, 0, 1], R[:, 0, 2]
+    r10, r11, r12 = R[:, 1, 0], R[:, 1, 1], R[:, 1, 2]
+    r20, r21, r22 = R[:, 2, 0], R[:, 2, 1], R[:, 2, 2]
+    t = r00 + r11 + r22
+    # 4*[w^2, x^2, y^2, z^2] — the argmax picks the pivot with the largest s
+    pivots = np.stack([1.0 + t, 1.0 + 2 * r00 - t, 1.0 + 2 * r11 - t, 1.0 + 2 * r22 - t], axis=1)
+    s = 2.0 * np.sqrt(np.maximum(pivots, 1e-12))  # (B, 4)
+    cand = np.empty((R.shape[0], 4, 4))
+    cand[:, 0] = np.stack([0.25 * s[:, 0], (r21 - r12) / s[:, 0], (r02 - r20) / s[:, 0], (r10 - r01) / s[:, 0]], axis=1)
+    cand[:, 1] = np.stack([(r21 - r12) / s[:, 1], 0.25 * s[:, 1], (r01 + r10) / s[:, 1], (r02 + r20) / s[:, 1]], axis=1)
+    cand[:, 2] = np.stack([(r02 - r20) / s[:, 2], (r01 + r10) / s[:, 2], 0.25 * s[:, 2], (r12 + r21) / s[:, 2]], axis=1)
+    cand[:, 3] = np.stack([(r10 - r01) / s[:, 3], (r02 + r20) / s[:, 3], (r12 + r21) / s[:, 3], 0.25 * s[:, 3]], axis=1)
+    q = cand[np.arange(R.shape[0]), np.argmax(pivots, axis=1)]
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q.reshape(lead + (4,))
+
+
+def matrices_from_quaternions(qs: np.ndarray) -> np.ndarray:
+    """Batched rotation matrices (..., 3, 3) from quaternions (..., 4) in
+    (w, x, y, z) order. Inputs are normalized internally."""
+    q = np.asarray(qs, dtype=np.float64)
+    lead = q.shape[:-1]
+    q = q.reshape(-1, 4)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    M = np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w),
+            2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w),
+            2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y),
+        ],
+        axis=1,
+    ).reshape(-1, 3, 3)
+    return M.reshape(lead + (3, 3))
+
+
 def random_quaternion(rand: Optional[np.ndarray] = None) -> np.ndarray:
     """Uniform random unit quaternion (w, x, y, z), Shoemake's method.
 

@@ -18,6 +18,7 @@ import numpy as np
 
 from .. import factory
 from ..cli import split_experiment_name
+from ..codebook import tta_jittered_bboxes
 from ..config import safe_eval
 from .interfaces import BoundingBox, PoseEstimate, PoseEstInterface, Roi3D
 
@@ -75,6 +76,14 @@ class AePoseEstimator(PoseEstInterface):
         self._topk = test_args.getint("auto_pose", "topk")
         if self._topk > 1:
             raise NotImplementedError("topk > 1 not implemented")
+        # test-time aggregation (new capability, both default 1 = strict
+        # reference parity / single argmax): blend the top-k codebook
+        # matches, and/or average cosine votes over n jittered crops per
+        # detection (codebook._aggregate_topk / tta_jittered_bboxes)
+        self._topk_aggregate = test_args.getint(
+            "auto_pose", "topk_aggregate", fallback=1
+        )
+        self._tta_crops = test_args.getint("auto_pose", "tta_crops", fallback=1)
         # depth-based 3-stage ICP refinement (new capability: the reference's
         # m3 estimator only carries it as commented-out code,
         # ae_pose_estimator.py:185-202). Enabled by `use_icp: True` in
@@ -174,24 +183,31 @@ class AePoseEstimator(PoseEstInterface):
             by_class.setdefault(pred_class, []).append(j)
 
         results: List[Optional[PoseEstimate]] = [None] * len(bboxes)
+        tta = max(self._tta_crops, 1)
         for class_name, det_idcs in by_class.items():
             cfg = self.all_train_cfgs[class_name]
             crops = np.stack(
                 [
                     extract_square_patch_centered(
                         color_img,
-                        box_xywhs[j],
+                        jbb,
                         self.pad_factors[class_name],
                         resize=self.patch_sizes[class_name],
                         interpolation="linear",
                         black_borders=True,
                     )
                     for j in det_idcs
+                    for jbb in (
+                        tta_jittered_bboxes(box_xywhs[j], tta)
+                        if tta > 1
+                        else [box_xywhs[j]]
+                    )
                 ]
             )
             bbs = np.stack([box_xywhs[j] for j in det_idcs])
             Rs, ts, _ = self.all_codebooks[class_name].auto_pose6d_batch(
-                crops, bbs, camK, cfg, upright=self._upright
+                crops, bbs, camK, cfg, upright=self._upright,
+                topk_aggregate=self._topk_aggregate, tta=tta,
             )
             if self._use_icp and depth_img is not None:
                 # square bbox-centered un-resized depth crops (the geometry
@@ -208,8 +224,9 @@ class AePoseEstimator(PoseEstInterface):
                 Rs, ts = self._icp_handle().refine_batch(
                     depth_crops, Rs, ts, camK, (W, H), class_name=class_name,
                     codebook=self.all_codebooks[class_name],
-                    det_imgs=[crops[k] for k in range(len(det_idcs))],
+                    det_imgs=crops,  # the full (B*tta) detection-major stack
                     det_bbs=bbs, train_cfg=cfg, upright=self._upright,
+                    topk_aggregate=self._topk_aggregate, tta=tta,
                 )
             for k, j in enumerate(det_idcs):
                 H_est = np.eye(4)

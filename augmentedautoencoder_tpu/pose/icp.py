@@ -414,8 +414,16 @@ class ICP:
         train_cfg=None,
         upright: bool = False,
         rng=None,
+        topk_aggregate: int = 1,
+        tta: int = 1,
     ):
         """Batched 3-stage refinement for every estimate of a frame/scene.
+
+        `topk_aggregate`/`tta` forward the caller's test-time aggregation
+        settings to the stage-2 codebook re-query (with tta > 1, `det_imgs`
+        holds the detection-major B*tta jittered-crop stack) — otherwise
+        stage 2 would silently overwrite an aggregated initial rotation
+        with a plain argmax one.
 
         Same algorithm as per-estimate `refine`, but each device stage is
         ONE vmapped dispatch + ONE host fetch for all n estimates (vs ~3
@@ -459,6 +467,7 @@ class ICP:
             R2s, t2s, _ = codebook.auto_pose6d_batch(
                 np.stack(det_imgs), np.stack(det_bbs), K_test, train_cfg,
                 depth_pred=depth_pred, upright=upright,
+                topk_aggregate=topk_aggregate, tta=tta,
             )
             R1s, t1s = list(R2s), list(t2s)
         # stage 3: rotation-only with angle-change rejection

@@ -109,6 +109,8 @@ ESTIMATE_BBS: False
 SINGLE_INSTANCE: {single_instance}
 GT_MASKS: {gt_masks}
 ICP: {icp}
+TOPK_AGGREGATE: {topk_aggregate}
+TTA_CROPS: {tta_crops}
 
 [EVALUATION]
 COMPUTE_ERRORS: True
@@ -262,6 +264,12 @@ def main() -> None:
     parser.add_argument("--instances", type=int, default=1,
                         help="object instances per image (multi-instance "
                              "regime: batched per-frame estimation + ICP)")
+    parser.add_argument("--topk_aggregate", type=int, default=1,
+                        help="blend the top-k codebook matches (quaternion "
+                             "+ rendered-bbox averaging); 1 = plain argmax")
+    parser.add_argument("--tta_crops", type=int, default=1,
+                        help="average cosine votes over n jittered crops "
+                             "per detection; 1 = single crop")
     parser.add_argument("--gt_masks", action="store_true",
                         help="zero the background with each instance's "
                              "mask_visib before cropping (the reference "
@@ -337,8 +345,12 @@ def main() -> None:
         eval_name += f"_inst{args.instances}"
     if args.gt_masks:
         eval_name += "_masked"
+    if args.topk_aggregate > 1:
+        eval_name += f"_agg{args.topk_aggregate}"
+    if args.tta_crops > 1:
+        eval_name += f"_tta{args.tta_crops}"
     with open(os.path.join(ws, "cfg_eval", "eval.cfg"), "w") as fh:
-        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1), gt_masks=args.gt_masks))
+        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1), gt_masks=args.gt_masks, topk_aggregate=args.topk_aggregate, tta_crops=args.tta_crops))
     t0 = time.time()
     run_cli(ae_eval, ["asym_obj", eval_name])
     timings["eval_s"] = round(time.time() - t0, 1)
@@ -367,6 +379,8 @@ def main() -> None:
         "precision": tc.precision,
         "instances": args.instances,
         "gt_masks": bool(args.gt_masks),
+        "topk_aggregate": args.topk_aggregate,
+        "tta_crops": args.tta_crops,
         "square_occlusion": bool(tc.square_occlusion),
         "realistic_occlusion": tc.realistic_occlusion,
         "neighbor_clutter": tc.neighbor_clutter,

@@ -384,6 +384,116 @@ class TestEndToEnd:
         for p_w, p_g in zip(want, got):
             np.testing.assert_allclose(p_g.trafo, p_w.trafo, atol=1e-6)
 
+    def test_pose_server_profile_stages(self, workspace, monkeypatch, tmp_path):
+        """profile=True accumulates the crop/dispatch/readback/pose-math
+        stage split (scripts/bench_serving_breakdown.py reads it); off by
+        default it stays empty."""
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+        from augmentedautoencoder_tpu.pose import BoundingBox
+        from augmentedautoencoder_tpu.serving import PoseServer
+
+        test_cfg = tmp_path / "m3_prof.cfg"
+        test_cfg.write_text(
+            "[auto_pose]\n"
+            "camPose = False\nupright = False\ntopk = 1\n"
+            "color_format = bgr\ncolor_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj'}\n"
+        )
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        bgr, depth = dataset.renderer.render(
+            0, W, H, cfg.K, codebook.viewsphere[3],
+            np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+        box = BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                          ymax=(y + h) / H, classes={"sphere": 0.99})
+
+        plain = PoseServer(str(test_cfg), max_dets_per_class=2)
+        plain.process([box], bgr, cfg.K)
+        assert plain.profile_times == {}
+
+        prof = PoseServer(str(test_cfg), max_dets_per_class=2, profile=True)
+        want = plain.process([box], bgr, cfg.K)
+        for _ in range(2):
+            got = prof.process([box], bgr, cfg.K)
+        # profiling must not perturb results
+        np.testing.assert_allclose(got[0].trafo, want[0].trafo, atol=1e-6)
+        summary = prof.profile_summary()
+        assert set(summary) == {"crop_extract", "dispatch", "readback", "pose_math"}
+        assert all(v >= 0.0 for v in summary.values())
+        assert prof.profile_frames == 2
+
+    def test_estimator_tta_and_topk_aggregate_knobs(
+        self, workspace, monkeypatch, tmp_path
+    ):
+        """[auto_pose] topk_aggregate / tta_crops knob plumbing through the
+        real AePoseEstimator.process: parsing, explicit-1/1 parity with the
+        plain estimator, well-formed + deterministic aggregated output.
+        (Accuracy semantics live in tests/test_tta_aggregate.py with
+        controlled codebooks — the 10-iteration e2e fixture model's
+        similarity landscape is too flat to pin rotations.)"""
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+        from augmentedautoencoder_tpu.pose import AePoseEstimator, BoundingBox
+
+        base = (
+            "[auto_pose]\n"
+            "camPose = False\nupright = False\ntopk = 1\n"
+            "color_format = bgr\ncolor_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj'}\n"
+        )
+        plain_cfg = tmp_path / "m3_plain.cfg"
+        plain_cfg.write_text(base)
+        one_cfg = tmp_path / "m3_one.cfg"
+        one_cfg.write_text(base + "topk_aggregate = 1\ntta_crops = 1\n")
+        agg_cfg = tmp_path / "m3_agg.cfg"
+        agg_cfg.write_text(base + "topk_aggregate = 4\ntta_crops = 5\n")
+
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        bgr, depth = dataset.renderer.render(
+            0, W, H, cfg.K, codebook.viewsphere[4],
+            np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+        box = BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                          ymax=(y + h) / H, classes={"sphere": 0.99})
+
+        plain = AePoseEstimator(str(plain_cfg))
+        assert plain._topk_aggregate == 1 and plain._tta_crops == 1
+        agg = AePoseEstimator(str(agg_cfg))
+        assert agg._topk_aggregate == 4 and agg._tta_crops == 5
+
+        p = plain.process([box], color_img=bgr, camK=cfg.K)[0]
+        # explicit 1/1 = strict parity with the default path
+        one = AePoseEstimator(str(one_cfg)).process(
+            [box], color_img=bgr, camK=cfg.K
+        )[0]
+        np.testing.assert_allclose(one.trafo, p.trafo, atol=1e-12)
+
+        a = agg.process([box], color_img=bgr, camK=cfg.K)[0]
+        R_est = a.trafo[:3, :3]
+        np.testing.assert_allclose(R_est @ R_est.T, np.eye(3), atol=1e-6)
+        assert np.all(np.isfinite(a.trafo))
+        assert 0.0 < a.trafo[2, 3] < 10.0  # meters, in front of the camera
+        # deterministic jitter pattern -> deterministic aggregate
+        a2 = agg.process([box], color_img=bgr, camK=cfg.K)[0]
+        np.testing.assert_allclose(a2.trafo, a.trafo, atol=0.0)
+
     def test_pose_server_bf16_serving(self, workspace, monkeypatch, tmp_path):
         """bf16 serving (bf16 convs + bf16 codebook slab, f32 latent head
         and f32 cosine accumulation — the recipe bf16 training validated)

@@ -17,3 +17,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture
+def host_serial():
+    """Serialize CPU-heavy tests against any other heavy JAX work on this
+    1-core host (a concurrently running dryrun_multichip, another suite).
+
+    Round-3 postmortem: the full suite died with a fatal Python error while
+    an 8-CPU-device dryrun ran in another process — both sides starved.
+    dryrun_multichip takes the same lock (utils/host_lock.py), so the two
+    simply queue; subprocesses spawned by a holder inherit it via env.
+    """
+    from augmentedautoencoder_tpu.utils.host_lock import host_heavy_lock
+
+    with host_heavy_lock():
+        yield

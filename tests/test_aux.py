@@ -96,6 +96,8 @@ class TestDsprites:
         idx = np.dot([0, 1, 5, 39, 31, 31], bases)
         assert idx == 1 * (6 * 40 * 32 * 32) + 5 * (40 * 32 * 32) + 39 * 32 * 32 + 31 * 32 + 31
 
+    @pytest.mark.slow
+    @pytest.mark.usefixtures("host_serial")
     def test_dsprites_cli_train_embed(self, tmp_path, monkeypatch):
         """MODEL: dsprites end to end through the REAL CLIs (reference
         ae_train.py:88-90 / ae_embed.py:84-85): train the orientation AE on

@@ -17,6 +17,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.usefixtures("host_serial")
 class TestDryrunInProcess:
     def test_runs_on_8_cpu_devices_and_cross_checks(self, capsys):
         # pytest's conftest forces an 8-CPU-device platform, so this takes
@@ -95,6 +96,7 @@ class TestDryrunInProcess:
 
 
 @pytest.mark.slow
+@pytest.mark.usefixtures("host_serial")
 class TestDryrunFromForeignPlatformParent:
     def test_subprocess_fallback_from_unsteered_parent(self):
         """A parent with jax imported but NOT steered to cpu-only (the

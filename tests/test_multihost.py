@@ -25,6 +25,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+@pytest.mark.usefixtures("host_serial")
 def test_two_process_sharded_training_step():
     port = _free_port()
     env = dict(os.environ)

@@ -39,6 +39,17 @@ from .pose.estimator import AePoseEstimator, extract_square_patch_centered
 from .pose.interfaces import BoundingBox, PoseEstimate
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _noop_stage(_name):
+    yield
+
+
+_NOOP_STAGE = _noop_stage
+
+
 @dataclasses.dataclass
 class _FrameHandle:
     vals: Dict[str, object]  # per present class: list of (max_dets,) device arrays
@@ -68,6 +79,7 @@ class PoseServer:
         test_config_path: str,
         max_dets_per_class: int = 8,
         precision: Optional[str] = None,
+        profile: bool = False,
     ):
         """precision: 'float32' (default) or 'bfloat16'. bf16 runs the
         encoder stack's convs on the MXU in bf16 and stores the codebook
@@ -86,6 +98,14 @@ class PoseServer:
 
         self._est = AePoseEstimator(test_config_path)
         self.max_dets = int(max_dets_per_class)
+        # optional wall-clock stage split (crop-extract / dispatch /
+        # readback / pose-math / icp), accumulated across frames; read via
+        # profile_summary(). Near-zero overhead when off; when on, note the
+        # submit/retrieve pipelining means stages of DIFFERENT frames
+        # overlap — per-stage sums can exceed end-to-end wall time.
+        self.profile = bool(profile)
+        self.profile_times: Dict[str, float] = {}
+        self.profile_frames = 0
         if precision is None:
             precision = self._est.test_args.get(
                 "auto_pose", "serving_precision", fallback="float32"
@@ -171,6 +191,33 @@ class PoseServer:
 
         self._query_xla = _query_xla
 
+    # ------------------------------------------------------------- profiling
+    def _stage_timer(self):
+        """Stage-accumulating context factory; a shared no-op when off."""
+        if not self.profile:
+            return _NOOP_STAGE
+        import contextlib
+        import time
+
+        @contextlib.contextmanager
+        def stage(name):
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.profile_times[name] = (
+                    self.profile_times.get(name, 0.0)
+                    + time.perf_counter()
+                    - t0
+                )
+
+        return stage
+
+    def profile_summary(self) -> Dict[str, float]:
+        """Mean per-frame milliseconds per stage (profile=True only)."""
+        n = max(self.profile_frames, 1)
+        return {k: 1e3 * v / n for k, v in sorted(self.profile_times.items())}
+
     def _query(self, z, oi: int):
         """Top-1 codebook match for one class: scalar-prefetch Pallas
         kernel on TPU (DMAs only this object's slab tiles), masked matmul
@@ -220,6 +267,7 @@ class PoseServer:
         vals: Dict[str, object] = {}
         idcs: Dict[str, object] = {}
         host_crops: Dict[str, np.ndarray] = {}
+        prof = self._stage_timer()
         for cls, det_idcs in by_class.items():
             oi = self.classes.index(cls)
             chunk_vals, chunk_idcs, chunk_crops = [], [], []
@@ -229,22 +277,26 @@ class PoseServer:
                     (self.max_dets, self.cfg0.h, self.cfg0.w, self.cfg0.c),
                     np.uint8,
                 )
-                for k, j in enumerate(chunk):
-                    crops[k] = extract_square_patch_centered(
-                        color_img,
-                        box_xywhs[j],
-                        self._est.pad_factors[cls],
-                        resize=self._est.patch_sizes[cls],
-                        interpolation="linear",
-                        black_borders=True,
+                with prof("crop_extract"):
+                    for k, j in enumerate(chunk):
+                        crops[k] = extract_square_patch_centered(
+                            color_img,
+                            box_xywhs[j],
+                            self._est.pad_factors[cls],
+                            resize=self._est.patch_sizes[cls],
+                            interpolation="linear",
+                            black_borders=True,
+                        )
+                with prof("dispatch"):
+                    z = self._encode(
+                        self._params_by_class[cls], jnp.asarray(crops)
                     )
-                z = self._encode(self._params_by_class[cls], jnp.asarray(crops))
-                v, i = self._query(z, oi)
-                for a in (v, i):  # overlap device->host copy with later frames
-                    try:
-                        a.copy_to_host_async()
-                    except Exception:
-                        pass
+                    v, i = self._query(z, oi)
+                    for a in (v, i):  # overlap d2h copy with later frames
+                        try:
+                            a.copy_to_host_async()
+                        except Exception:
+                            pass
                 chunk_vals.append(v)
                 chunk_idcs.append(i)
                 if want_icp:
@@ -253,6 +305,7 @@ class PoseServer:
             idcs[cls] = chunk_idcs
             if want_icp:
                 host_crops[cls] = np.concatenate(chunk_crops, axis=0)
+        self.profile_frames += 1
         return _FrameHandle(
             vals=vals, idcs=idcs, by_class=by_class, box_xywhs=box_xywhs,
             bboxes=bboxes, camK=np.asarray(camK, np.float64),
@@ -266,12 +319,14 @@ class PoseServer:
         """Materialize a submitted frame and finish the pose math
         (codebook.auto_pose6d semantics, reference codebook.py:79-129)."""
         results: List[Optional[PoseEstimate]] = [None] * len(h.bboxes)
+        prof = self._stage_timer()
         for cls, det_idcs in h.by_class.items():
             oi = self.classes.index(cls)
             # chunked dispatch: concatenate the per-chunk (max_dets,) index
             # arrays; row c*max_dets+k is detection k of chunk c, so the
             # flattened order matches det_idcs
-            cls_idcs = np.concatenate([np.asarray(a) for a in h.idcs[cls]])
+            with prof("readback"):
+                cls_idcs = np.concatenate([np.asarray(a) for a in h.idcs[cls]])
             cfg = self._est.all_train_cfgs[cls]
             K_train, radius = cfg.K, cfg.radius
             K_test = h.camK
@@ -279,53 +334,57 @@ class PoseServer:
                 K_test[0, 0] ** 2 + K_test[1, 1] ** 2
             ) / np.sqrt(K_train[0, 0] ** 2 + K_train[1, 1] ** 2)
             Rs_cls, ts_cls = [], []
-            for k, j in enumerate(det_idcs):
-                idx = int(cls_idcs[k])
-                R = self._viewspheres[oi][idx].copy()
-                rendered_bb = self._obj_bbs[oi][idx].astype(np.float64)
-                pred_bb = np.asarray(h.box_xywhs[j], np.float64)
-                diag_ratio = np.linalg.norm(
-                    np.float32(rendered_bb[2:])
-                ) / np.linalg.norm(np.float32(pred_bb[2:]))
-                z = diag_ratio * K_diag_ratio * radius
-                cx_tr = rendered_bb[0] + rendered_bb[2] / 2.0 - K_train[0, 2]
-                cy_tr = rendered_bb[1] + rendered_bb[3] / 2.0 - K_train[1, 2]
-                cx_te = pred_bb[0] + pred_bb[2] / 2.0 - K_test[0, 2]
-                cy_te = pred_bb[1] + pred_bb[3] / 2.0 - K_test[1, 2]
-                tx = cx_te * z / K_test[0, 0] - cx_tr * radius / K_train[0, 0]
-                ty = cy_te * z / K_test[1, 1] - cy_tr * radius / K_train[1, 1]
-                t = np.array([tx, ty, z])
-                d_ay = np.arctan(t[0] / np.sqrt(t[2] ** 2 + t[1] ** 2))
-                d_ax = -np.arctan(t[1] / t[2])
-                ca, sa = np.cos(d_ax), np.sin(d_ax)
-                cb_, sb = np.cos(d_ay), np.sin(d_ay)
-                R_cx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
-                R_cy = np.array([[cb_, 0, sb], [0, 1, 0], [-sb, 0, cb_]])
-                Rs_cls.append(R_cy @ R_cx @ R)
-                ts_cls.append(t)
+            with prof("pose_math"):
+                for k, j in enumerate(det_idcs):
+                    idx = int(cls_idcs[k])
+                    R = self._viewspheres[oi][idx].copy()
+                    rendered_bb = self._obj_bbs[oi][idx].astype(np.float64)
+                    pred_bb = np.asarray(h.box_xywhs[j], np.float64)
+                    diag_ratio = np.linalg.norm(
+                        np.float32(rendered_bb[2:])
+                    ) / np.linalg.norm(np.float32(pred_bb[2:]))
+                    z = diag_ratio * K_diag_ratio * radius
+                    cx_tr = rendered_bb[0] + rendered_bb[2] / 2.0 - K_train[0, 2]
+                    cy_tr = rendered_bb[1] + rendered_bb[3] / 2.0 - K_train[1, 2]
+                    cx_te = pred_bb[0] + pred_bb[2] / 2.0 - K_test[0, 2]
+                    cy_te = pred_bb[1] + pred_bb[3] / 2.0 - K_test[1, 2]
+                    tx = cx_te * z / K_test[0, 0] - cx_tr * radius / K_train[0, 0]
+                    ty = cy_te * z / K_test[1, 1] - cy_tr * radius / K_train[1, 1]
+                    t = np.array([tx, ty, z])
+                    d_ay = np.arctan(t[0] / np.sqrt(t[2] ** 2 + t[1] ** 2))
+                    d_ax = -np.arctan(t[1] / t[2])
+                    ca, sa = np.cos(d_ax), np.sin(d_ax)
+                    cb_, sb = np.cos(d_ay), np.sin(d_ay)
+                    R_cx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+                    R_cy = np.array([[cb_, 0, sb], [0, 1, 0], [-sb, 0, cb_]])
+                    Rs_cls.append(R_cy @ R_cx @ R)
+                    ts_cls.append(t)
 
             if h.depth_img is not None and Rs_cls:
                 # batched 3-stage depth refinement (poses still in mm here)
-                depth_crops = []
-                for j in det_idcs:
-                    x, y, w, bh = (int(v) for v in h.box_xywhs[j])
-                    size = int(max(bh, w) * self._est.pad_factors[cls])
-                    Hd, Wd = h.depth_img.shape[:2]
-                    left = max(int(x + w / 2 - size / 2), 0)
-                    right = min(int(x + w / 2 + size / 2), Wd)
-                    top = max(int(y + bh / 2 - size / 2), 0)
-                    bottom = min(int(y + bh / 2 + size / 2), Hd)
-                    depth_crops.append(h.depth_img[top:bottom, left:right])
-                Rs_cls, ts_cls = self._est._icp_handle().refine_batch(
-                    depth_crops, Rs_cls, ts_cls, K_test,
-                    h.depth_img.shape[:2][::-1], class_name=cls,
-                    codebook=self._est.all_codebooks[cls],
-                    det_imgs=[h.host_crops[cls][k] for k in range(len(det_idcs))],
-                    det_bbs=np.stack(
-                        [h.box_xywhs[j] for j in det_idcs]
-                    ).astype(np.float64),
-                    train_cfg=cfg, upright=self._est._upright,
-                )
+                with prof("icp"):
+                    depth_crops = []
+                    for j in det_idcs:
+                        x, y, w, bh = (int(v) for v in h.box_xywhs[j])
+                        size = int(max(bh, w) * self._est.pad_factors[cls])
+                        Hd, Wd = h.depth_img.shape[:2]
+                        left = max(int(x + w / 2 - size / 2), 0)
+                        right = min(int(x + w / 2 + size / 2), Wd)
+                        top = max(int(y + bh / 2 - size / 2), 0)
+                        bottom = min(int(y + bh / 2 + size / 2), Hd)
+                        depth_crops.append(h.depth_img[top:bottom, left:right])
+                    Rs_cls, ts_cls = self._est._icp_handle().refine_batch(
+                        depth_crops, Rs_cls, ts_cls, K_test,
+                        h.depth_img.shape[:2][::-1], class_name=cls,
+                        codebook=self._est.all_codebooks[cls],
+                        det_imgs=[
+                            h.host_crops[cls][k] for k in range(len(det_idcs))
+                        ],
+                        det_bbs=np.stack(
+                            [h.box_xywhs[j] for j in det_idcs]
+                        ).astype(np.float64),
+                        train_cfg=cfg, upright=self._est._upright,
+                    )
 
             for k, j in enumerate(det_idcs):
                 H_est = np.eye(4)

@@ -1,7 +1,6 @@
 #!/bin/bash
-# Round-3 pending network-variant quality arms (VAE, BatchNorm), blocked at
-# the end of the last session on a wedged TPU tunnel. Protocol matches the
-# AUXILIARY_MASK study recorded in PERF.md ("Round 3: AUXILIARY_MASK study"):
+# Network-variant quality arms (VAE, BatchNorm) + the fresh PLAIN baseline.
+# Protocol matches the round-3 AUXILIARY_MASK study recorded in PERF.md:
 #
 #   1. fresh workspace per arm: full CLI train (30k) + embed (92k) + eval on
 #      the arm's own freshly rendered 3-instance scenes (+ICP),
@@ -9,9 +8,13 @@
 #      set /tmp/aae_vsd_ws2/bopdata_inst3, so arms are compared on identical
 #      test images (removes scene-sampling noise).
 #
-# Baselines to compare against (PERF.md table):
-#   plain   12.26 deg / re recall 0.58  / vsd recall 0.380
-#   clutter  7.03 deg / re recall 0.847 / vsd recall 0.513
+# Round-4 note: /tmp was wiped between sessions and scene lighting draws
+# from the global RNG (renderer/facade.py:_sample_light), so the shared
+# scene set is NEW — the round-3 baselines (plain 12.26/0.58/0.380, clutter
+# 7.03/0.847/0.513) are directional context only. This script therefore
+# re-measures the PLAIN baseline on the new shared set; the clutter
+# baseline comes from the ws2 regen itself
+# (scripts/quality_vsd_asym_clutter_inst3_icp_r4.json).
 #
 # Reference variants being measured: VARIATIONAL (encoder.py:70-94 KL head)
 # and BATCH_NORMALIZATION (encoder.py:45-56) — both OFF in the reference's
@@ -31,18 +34,19 @@ print('TPU OK:', np.asarray(jnp.arange(8.)*2).sum())" 2>&1 | tail -1
 
 echo "[probe] $(date -u +%H:%M:%S)"
 if ! probe | grep -q "TPU OK"; then
-  echo "TPU tunnel still wedged — aborting (re-run when the probe passes)."
+  echo "TPU tunnel wedged — aborting (re-run when the probe passes)."
   exit 1
 fi
+test -f "${SHARED}/test/000001/scene_gt.json" || {
+  echo "shared scene set missing — regen ws2 first (quality_eval_vsd.py --clutter 0.5 --instances 3 --icp --workspace /tmp/aae_vsd_ws2)"
+  exit 1
+}
 
 run_arm() {
   local name="$1" ws="$2"; shift 2
   echo "=== arm: ${name} (fresh train) ==="
-  # both workspaces were PRE-STAGED on CPU while the tunnel was wedged
-  # (cfg + rendered tmp_datasets cache + own bopdata_inst3 scenes), so do
-  # NOT wipe them — the harness re-inits deterministically and reuses the
-  # md5-keyed dataset cache; only train/embed/eval hit the TPU. Drop any
-  # half-written checkpoints so ae_train cannot auto-resume a stale run.
+  # drop any half-written checkpoints so ae_train cannot auto-resume a
+  # stale run; the md5-keyed dataset cache (if present) is reused
   rm -rf "${ws}/experiments"
   python scripts/quality_eval_vsd.py "$@" --instances 3 --icp \
     --workspace "${ws}" \
@@ -55,6 +59,7 @@ run_arm() {
     --out "scripts/quality_vsd_asym_${name}_inst3_icp_cmp.json"
 }
 
+run_arm plain_r4 /tmp/aae_vsd_plain
 run_arm vae /tmp/aae_vsd_vae --variational 1e-4
 run_arm bn  /tmp/aae_vsd_bn  --batch_norm
 
@@ -62,4 +67,4 @@ run_arm bn  /tmp/aae_vsd_bn  --batch_norm
 # headline bench figure (min-of-5 + spread)
 python bench.py | tee /tmp/bench_after_arms.json
 
-echo "done — record both arms in PERF.md next to the AUXILIARY_MASK study"
+echo "done — record all arms in PERF.md next to the AUXILIARY_MASK study"

@@ -167,6 +167,11 @@ def make_scenes(
     os.makedirs(os.path.join(scene_dir, "depth"), exist_ok=True)
     os.makedirs(os.path.join(scene_dir, "mask_visib"), exist_ok=True)
     rng = np.random.RandomState(seed)
+    # The renderer's random_light path draws from the GLOBAL np.random
+    # (facade._sample_light, matching the reference's meshrenderer); seed it
+    # here so the scene set is bit-reproducible — /tmp wipes between sessions
+    # destroyed the shared A/B scene set twice (rounds 3→4).
+    np.random.seed(seed)
     # lateral placements that keep every instance fully in frame
     offsets = np.linspace(-115.0, 115.0, instances) if instances > 1 else [0.0]
     gt, cam, gt_info = {}, {}, {}

@@ -14,7 +14,8 @@
 # 7.03/0.847/0.513) are directional context only. This script therefore
 # re-measures the PLAIN baseline on the new shared set; the clutter
 # baseline comes from the ws2 regen itself
-# (scripts/quality_vsd_asym_clutter_inst3_icp_r4.json).
+# (scripts/quality_vsd_asym_clutter_inst3_icp_r4seed.json — scene gen is
+# now seeded, so this set is reproducible across /tmp wipes).
 #
 # Reference variants being measured: VARIATIONAL (encoder.py:70-94 KL head)
 # and BATCH_NORMALIZATION (encoder.py:45-56) — both OFF in the reference's

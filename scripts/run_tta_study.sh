@@ -9,8 +9,10 @@
 #                      rendered-bbox averaging within 20 deg of top-1)
 #   tta_crops n      : average cosine votes over n offset-jittered crops
 #
-# Baseline = the ws2 regen run itself (quality_vsd_asym_clutter_inst3_icp_r4
-# for ICP; the rgb arm below re-evals RGB-only on the same scenes).
+# Baseline = the ws2 regen run itself (quality_vsd_asym_clutter_inst3_icp_r4seed
+# for ICP; the rgb arm below re-evals RGB-only on the same scenes). Scene
+# generation is now np.random-seeded end to end, so the shared set is
+# reproducible even if /tmp is wiped again.
 #
 # ONE process may use the TPU at a time (PERF.md measurement discipline).
 set -euo pipefail
@@ -46,4 +48,4 @@ run icp_tta5       --icp --tta_crops 5
 run icp_tta9       --icp --tta_crops 9
 run icp_agg8_tta5  --icp --topk_aggregate 8 --tta_crops 5
 
-echo "done — record in PERF.md (baseline: quality_vsd_asym_clutter_inst3_icp_r4.json)"
+echo "done — record in PERF.md (baseline: quality_vsd_asym_clutter_inst3_icp_r4seed.json)"

@@ -268,6 +268,79 @@ class Codebook:
             Rs_est[i] = R_corr_y @ R_corr_x @ Rs_est[i]
         return Rs_est, ts_est
 
+    def _topk_partition(
+        self, cos: np.ndarray, k: int, upright: bool
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-row indices + similarities of the k best codebook entries,
+        sorted best-first. Returns (part (B,k'), sims (B,k')) with
+        k' = min(k, candidates)."""
+        if upright:
+            # restrict candidates to the in-plane-rotation-free stride
+            # (reference codebook.py:66 semantics, extended to k > 1)
+            sub = cos[:, :: self.num_cyclo]
+            k = min(k, sub.shape[1])
+            part = np.argpartition(-sub, k - 1, axis=1)[:, :k] * self.num_cyclo
+        else:
+            k = min(k, cos.shape[1])
+            part = np.argpartition(-cos, k - 1, axis=1)[:, :k]  # (B, k)
+        sims = np.take_along_axis(cos, part, axis=1)
+        order = np.argsort(-sims, axis=1)
+        part = np.take_along_axis(part, order, axis=1)
+        sims = np.take_along_axis(sims, order, axis=1)
+        return part, sims
+
+    def topk_candidates(
+        self,
+        xs: Union[np.ndarray, Array],
+        k: int,
+        upright: bool = False,
+        tta: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k codebook indices + cosine similarities per detection — the
+        hypothesis-expansion half of depth re-scoring (pose/rescore.py): no
+        pose math, just the ranked matches. With tta > 1, xs is the
+        detection-major (B*tta) jittered-crop stack and similarity rows are
+        averaged per detection first (same voting as auto_pose6d_batch).
+        Returns (idcs (B,k'), sims (B,k'))."""
+        self._require_embedding()
+        z = self._encode(self._prep(xs))
+        cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
+        if tta > 1:
+            cos = cos.reshape(-1, tta, cos.shape[-1]).mean(axis=1)
+        return self._topk_partition(cos, max(k, 1), upright)
+
+    def pose6d_from_indices(
+        self,
+        idcs: np.ndarray,
+        bbs: np.ndarray,
+        K_test: np.ndarray,
+        train_cfg: TrainConfig,
+        depth_pred: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Full 6D poses for GIVEN codebook indices — no encode, no query.
+
+        idcs (B,) with bbs (B,4) yields one pose per detection; idcs (B,k)
+        expands every detection into k hypotheses (bbs and depth_pred are
+        repeated per candidate) and returns flattened (B*k,...) results.
+        Used by depth re-scoring (pose/rescore.py) and by ICP stage 2 when a
+        re-scored candidate must be KEPT instead of re-queried. Same
+        translation recovery + off-center rotation correction as
+        auto_pose6d_batch (reference codebook.py:79-129)."""
+        self._require_embedding()
+        if self.embed_obj_bbs is None:
+            raise RuntimeError("codebook has no embedded bboxes (EMBED_BB off)")
+        idcs = np.asarray(idcs)
+        bbs = np.asarray(bbs, dtype=np.float64)
+        if idcs.ndim == 2:
+            k = idcs.shape[1]
+            bbs = np.repeat(bbs, k, axis=0)
+            if depth_pred is not None:
+                depth_pred = np.repeat(np.asarray(depth_pred, np.float64), k)
+            idcs = idcs.reshape(-1)
+        Rs = self.viewsphere[idcs].copy()
+        rendered_bbs = np.asarray(self.embed_obj_bbs[idcs], dtype=np.float64)
+        return self._solve_6d(Rs, rendered_bbs, bbs, K_test, train_cfg, depth_pred)
+
     def _aggregate_topk(
         self, cos: np.ndarray, k: int, upright: bool, agg_angle_deg: float
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -287,19 +360,7 @@ class Codebook:
             quaternions_from_matrices,
         )
 
-        if upright:
-            # restrict candidates to the in-plane-rotation-free stride
-            # (reference codebook.py:66 semantics, extended to k > 1)
-            sub = cos[:, :: self.num_cyclo]
-            k = min(k, sub.shape[1])
-            part = np.argpartition(-sub, k - 1, axis=1)[:, :k] * self.num_cyclo
-        else:
-            k = min(k, cos.shape[1])
-            part = np.argpartition(-cos, k - 1, axis=1)[:, :k]  # (B, k)
-        sims = np.take_along_axis(cos, part, axis=1)
-        order = np.argsort(-sims, axis=1)
-        part = np.take_along_axis(part, order, axis=1)
-        sims = np.take_along_axis(sims, order, axis=1)
+        part, sims = self._topk_partition(cos, k, upright)
         top1 = part[:, 0]
 
         quats = quaternions_from_matrices(self.viewsphere[part])  # (B,k,4)
@@ -378,6 +439,21 @@ class Codebook:
             Rs = self.viewsphere[idcs].copy()
             rendered_bbs = np.asarray(self.embed_obj_bbs[idcs], dtype=np.float64)
 
+        Rs, ts = self._solve_6d(Rs, rendered_bbs, bbs, K_test, train_cfg, depth_pred)
+        return Rs, ts, idcs
+
+    def _solve_6d(
+        self,
+        Rs: np.ndarray,
+        rendered_bbs: np.ndarray,
+        bbs: np.ndarray,
+        K_test: np.ndarray,
+        train_cfg: TrainConfig,
+        depth_pred: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized translation recovery + off-center rotation correction
+        for matched codebook rotations (reference codebook.py:79-129)."""
+        bbs = np.asarray(bbs, dtype=np.float64)
         K_train = train_cfg.K
         radius = train_cfg.radius
         K_test = np.asarray(K_test, dtype=np.float64)
@@ -415,4 +491,4 @@ class Codebook:
             [cb, zeros, sb, zeros, ones, zeros, -sb, zeros, cb], axis=1
         ).reshape(-1, 3, 3)
         Rs = R_corr_y @ R_corr_x @ Rs
-        return Rs, ts, idcs
+        return Rs, ts

@@ -35,6 +35,11 @@ class EvalConfig:
     # `_aggregate_topk` / `tta_jittered_bboxes`)
     topk_aggregate: int = 1
     tta_crops: int = 1
+    # depth-based hypothesis re-scoring (pose/rescore.py): expand the top-k
+    # matches into 6D hypotheses and keep the one whose rendered depth best
+    # matches the observed depth (tau = vsd_tau). 1 = off. Mutually
+    # exclusive with topk_aggregate.
+    topk_rescore: int = 1
 
     # [EVALUATION]
     compute_errors: bool = True
@@ -113,6 +118,12 @@ def load_eval_config(path_or_parser) -> EvalConfig:
     cfg.gt_masks = get("BBOXES", "GT_MASKS", cfg.gt_masks)
     cfg.topk_aggregate = get("BBOXES", "TOPK_AGGREGATE", cfg.topk_aggregate)
     cfg.tta_crops = get("BBOXES", "TTA_CROPS", cfg.tta_crops)
+    cfg.topk_rescore = get("BBOXES", "TOPK_RESCORE", cfg.topk_rescore)
+    if cfg.topk_rescore > 1 and cfg.topk_aggregate > 1:
+        raise ValueError(
+            "TOPK_RESCORE and TOPK_AGGREGATE are mutually exclusive: "
+            "re-scoring picks one hypothesis, aggregation blends several"
+        )
 
     cfg.compute_errors = get("EVALUATION", "COMPUTE_ERRORS", cfg.compute_errors)
     cfg.evaluate_errors = get("EVALUATION", "EVALUATE_ERRORS", cfg.evaluate_errors)

@@ -83,6 +83,37 @@ class Evaluator:
             for b in bbs
         ]
 
+    def _rescore_poses(self, crops_all, bbs, K_test, loader, im_id, dims, tta):
+        """Depth re-scored 6D poses (pose/rescore.py): expand each
+        detection's TOPK_RESCORE best codebook matches into hypotheses and
+        keep the one whose rendered depth best matches the observed depth
+        (tau = VSD_TAU). Returns (Rs (B,3,3), ts (B,3), idcs (B,))."""
+        from ..pose.rescore import select_best_hypothesis
+
+        ec = self.eval_cfg
+        if self.renderer is None:
+            raise ValueError("TOPK_RESCORE needs the object renderer")
+        depth_img = loader.load_depth(im_id)
+        if depth_img is None:
+            raise ValueError("TOPK_RESCORE needs depth test images")
+        idcs_k, _ = self.codebook.topk_candidates(
+            np.stack(crops_all), ec.topk_rescore, tta=tta
+        )
+        B, k = idcs_k.shape
+        Rs_f, ts_f = self.codebook.pose6d_from_indices(
+            idcs_k, np.stack(bbs), K_test, self.train_cfg
+        )
+        best, _ = select_best_hypothesis(
+            self.renderer, K_test, dims, depth_img,
+            Rs_f.reshape(B, k, 3, 3), ts_f.reshape(B, k, 3), tau=ec.vsd_tau,
+        )
+        rows = np.arange(B)
+        return (
+            Rs_f.reshape(B, k, 3, 3)[rows, best],
+            ts_f.reshape(B, k, 3)[rows, best],
+            idcs_k[rows, best],
+        )
+
     # ------------------------------------------------------------- pose
     def estimate_image(
         self, loader: SceneLoader, scene_id: int, im_id: int
@@ -134,10 +165,16 @@ class Evaluator:
                 bbs_d.append(d["bbox"])
                 scores.append(float(d.get("score", 1.0)))
             t0 = time.time()
-            Rs, ts, _ = self.codebook.auto_pose6d_batch(
-                np.stack(crops_d), np.stack(bbs_d), K_test, self.train_cfg,
-                topk_aggregate=ec.topk_aggregate, tta=max(ec.tta_crops, 1),
-            )
+            if ec.topk_rescore > 1:
+                Rs, ts, _ = self._rescore_poses(
+                    crops_d, bbs_d, K_test, loader, im_id, (W, H),
+                    max(ec.tta_crops, 1),
+                )
+            else:
+                Rs, ts, _ = self.codebook.auto_pose6d_batch(
+                    np.stack(crops_d), np.stack(bbs_d), K_test, self.train_cfg,
+                    topk_aggregate=ec.topk_aggregate, tta=max(ec.tta_crops, 1),
+                )
             aae_time = time.time() - t0
             for k in range(len(dets)):
                 results.append(
@@ -185,10 +222,15 @@ class Evaluator:
 
         t0 = time.time()
         tta = max(ec.tta_crops, 1)
-        Rs, ts, idcs = self.codebook.auto_pose6d_batch(
-            np.stack(crops_all), np.stack(bbs), K_test, self.train_cfg,
-            topk_aggregate=ec.topk_aggregate, tta=tta,
-        )
+        if ec.topk_rescore > 1:
+            Rs, ts, idcs = self._rescore_poses(
+                crops_all, bbs, K_test, loader, im_id, (W, H), tta
+            )
+        else:
+            Rs, ts, idcs = self.codebook.auto_pose6d_batch(
+                np.stack(crops_all), np.stack(bbs), K_test, self.train_cfg,
+                topk_aggregate=ec.topk_aggregate, tta=tta,
+            )
         aae_time = time.time() - t0
 
         if len(self._sample_crops) < 16:
@@ -225,6 +267,7 @@ class Evaluator:
                     codebook=self.codebook, det_imgs=crops_all,
                     det_bbs=np.stack(bbs), train_cfg=self.train_cfg,
                     topk_aggregate=ec.topk_aggregate, tta=tta,
+                    fixed_idcs=idcs if ec.topk_rescore > 1 else None,
                 )
             else:  # custom handle exposing only per-estimate refine()
                 Rs, ts = list(Rs), list(ts)

@@ -84,6 +84,20 @@ class AePoseEstimator(PoseEstInterface):
             "auto_pose", "topk_aggregate", fallback=1
         )
         self._tta_crops = test_args.getint("auto_pose", "tta_crops", fallback=1)
+        # depth-based hypothesis re-scoring (pose/rescore.py): expand the
+        # top-k codebook matches into 6D hypotheses, render each, keep the
+        # one whose depth best matches depth_img. 1 = off.
+        self._topk_rescore = test_args.getint(
+            "auto_pose", "topk_rescore", fallback=1
+        )
+        self._rescore_tau = test_args.getfloat(
+            "auto_pose", "rescore_tau", fallback=20.0
+        )
+        if self._topk_rescore > 1 and self._topk_aggregate > 1:
+            raise ValueError(
+                "topk_rescore and topk_aggregate are mutually exclusive: "
+                "re-scoring picks one hypothesis, aggregation blends several"
+            )
         # depth-based 3-stage ICP refinement (new capability: the reference's
         # m3 estimator only carries it as commented-out code,
         # ae_pose_estimator.py:185-202). Enabled by `use_icp: True` in
@@ -93,7 +107,7 @@ class AePoseEstimator(PoseEstInterface):
         self._icp = None
 
         self._process_requirements = ["color_img", "camK", "bboxes"]
-        if self._use_icp:
+        if self._use_icp or self._topk_rescore > 1:
             self._process_requirements.append("depth_img")
         if self._camPose:
             self._process_requirements.append("camPose")
@@ -205,10 +219,31 @@ class AePoseEstimator(PoseEstInterface):
                 ]
             )
             bbs = np.stack([box_xywhs[j] for j in det_idcs])
-            Rs, ts, _ = self.all_codebooks[class_name].auto_pose6d_batch(
-                crops, bbs, camK, cfg, upright=self._upright,
-                topk_aggregate=self._topk_aggregate, tta=tta,
-            )
+            codebook = self.all_codebooks[class_name]
+            sel_idcs = None
+            if self._topk_rescore > 1 and depth_img is not None:
+                from .rescore import select_best_hypothesis
+
+                idcs_k, _ = codebook.topk_candidates(
+                    crops, self._topk_rescore, upright=self._upright, tta=tta
+                )
+                B, k = idcs_k.shape
+                Rs_f, ts_f = codebook.pose6d_from_indices(idcs_k, bbs, camK, cfg)
+                best, _ = select_best_hypothesis(
+                    self._icp_handle().renderers[class_name].renderer,
+                    camK, (W, H), depth_img,
+                    Rs_f.reshape(B, k, 3, 3), ts_f.reshape(B, k, 3),
+                    tau=self._rescore_tau,
+                )
+                rows = np.arange(B)
+                Rs = Rs_f.reshape(B, k, 3, 3)[rows, best]
+                ts = ts_f.reshape(B, k, 3)[rows, best]
+                sel_idcs = idcs_k[rows, best]
+            else:
+                Rs, ts, _ = codebook.auto_pose6d_batch(
+                    crops, bbs, camK, cfg, upright=self._upright,
+                    topk_aggregate=self._topk_aggregate, tta=tta,
+                )
             if self._use_icp and depth_img is not None:
                 # square bbox-centered un-resized depth crops (the geometry
                 # icp_refinement's K re-centering assumes)
@@ -223,10 +258,11 @@ class AePoseEstimator(PoseEstInterface):
                     depth_crops.append(depth_img[top:bottom, left:right])
                 Rs, ts = self._icp_handle().refine_batch(
                     depth_crops, Rs, ts, camK, (W, H), class_name=class_name,
-                    codebook=self.all_codebooks[class_name],
+                    codebook=codebook,
                     det_imgs=crops,  # the full (B*tta) detection-major stack
                     det_bbs=bbs, train_cfg=cfg, upright=self._upright,
                     topk_aggregate=self._topk_aggregate, tta=tta,
+                    fixed_idcs=sel_idcs,
                 )
             for k, j in enumerate(det_idcs):
                 H_est = np.eye(4)

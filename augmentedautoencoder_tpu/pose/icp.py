@@ -416,6 +416,7 @@ class ICP:
         rng=None,
         topk_aggregate: int = 1,
         tta: int = 1,
+        fixed_idcs=None,
     ):
         """Batched 3-stage refinement for every estimate of a frame/scene.
 
@@ -424,6 +425,11 @@ class ICP:
         holds the detection-major B*tta jittered-crop stack) — otherwise
         stage 2 would silently overwrite an aggregated initial rotation
         with a plain argmax one.
+
+        `fixed_idcs` (n,) pins stage 2 to those codebook entries instead of
+        re-querying: used after depth re-scoring (pose/rescore.py), where a
+        fresh argmax would throw away the depth-selected candidate. The
+        translation still re-solves at the stage-1-corrected depth.
 
         Same algorithm as per-estimate `refine`, but each device stage is
         ONE vmapped dispatch + ONE host fetch for all n estimates (vs ~3
@@ -462,7 +468,14 @@ class ICP:
         # stage 1: depth-only alignment
         R1s, t1s = batched_stage(Rs, ts, depth_only=True, no_depth=False)
         # stage 2: re-estimate x,y at the corrected depths (one encode batch)
-        if codebook is not None and det_imgs is not None:
+        if fixed_idcs is not None and codebook is not None:
+            depth_pred = np.array([t[2] for t in t1s])
+            R2s, t2s = codebook.pose6d_from_indices(
+                np.asarray(fixed_idcs), np.stack(det_bbs), K_test, train_cfg,
+                depth_pred=depth_pred,
+            )
+            R1s, t1s = list(R2s), list(t2s)
+        elif codebook is not None and det_imgs is not None:
             depth_pred = np.array([t[2] for t in t1s])
             R2s, t2s, _ = codebook.auto_pose6d_batch(
                 np.stack(det_imgs), np.stack(det_bbs), K_test, train_cfg,

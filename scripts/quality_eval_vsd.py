@@ -111,6 +111,7 @@ GT_MASKS: {gt_masks}
 ICP: {icp}
 TOPK_AGGREGATE: {topk_aggregate}
 TTA_CROPS: {tta_crops}
+TOPK_RESCORE: {topk_rescore}
 
 [EVALUATION]
 COMPUTE_ERRORS: True
@@ -275,6 +276,11 @@ def main() -> None:
     parser.add_argument("--tta_crops", type=int, default=1,
                         help="average cosine votes over n jittered crops "
                              "per detection; 1 = single crop")
+    parser.add_argument("--topk_rescore", type=int, default=1,
+                        help="depth re-scoring: expand the top-k codebook "
+                             "matches into 6D hypotheses, keep the one whose "
+                             "rendered depth best matches the observed depth "
+                             "(pose/rescore.py); 1 = plain argmax")
     parser.add_argument("--gt_masks", action="store_true",
                         help="zero the background with each instance's "
                              "mask_visib before cropping (the reference "
@@ -354,8 +360,10 @@ def main() -> None:
         eval_name += f"_agg{args.topk_aggregate}"
     if args.tta_crops > 1:
         eval_name += f"_tta{args.tta_crops}"
+    if args.topk_rescore > 1:
+        eval_name += f"_rs{args.topk_rescore}"
     with open(os.path.join(ws, "cfg_eval", "eval.cfg"), "w") as fh:
-        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1), gt_masks=args.gt_masks, topk_aggregate=args.topk_aggregate, tta_crops=args.tta_crops))
+        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1), gt_masks=args.gt_masks, topk_aggregate=args.topk_aggregate, tta_crops=args.tta_crops, topk_rescore=args.topk_rescore))
     t0 = time.time()
     run_cli(ae_eval, ["asym_obj", eval_name])
     timings["eval_s"] = round(time.time() - t0, 1)
@@ -386,6 +394,7 @@ def main() -> None:
         "gt_masks": bool(args.gt_masks),
         "topk_aggregate": args.topk_aggregate,
         "tta_crops": args.tta_crops,
+        "topk_rescore": args.topk_rescore,
         "square_occlusion": bool(tc.square_occlusion),
         "realistic_occlusion": tc.realistic_occlusion,
         "neighbor_clutter": tc.neighbor_clutter,

@@ -70,6 +70,50 @@ def tta_jittered_bboxes(bb_xywh: Sequence[float], n: int) -> np.ndarray:
     return np.array([[x + dx * w, y + dy * h, w, h] for dx, dy in _TTA_OFFSETS[:n]])
 
 
+def aggregate_candidates(
+    viewsphere: np.ndarray,
+    embed_obj_bbs: np.ndarray,
+    part: np.ndarray,
+    sims: np.ndarray,
+    agg_angle_deg: float = 20.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Blend ranked top-k codebook candidates into one pose per row.
+
+    part (B,k) candidate indices sorted best-first, sims (B,k) their cosine
+    similarities. Keeps the candidates within `agg_angle_deg` of each row's
+    top-1 rotation (so distant modes — e.g. near-symmetric views — never
+    get averaged) and blends the survivors' quaternions and rendered bboxes
+    with similarity-proportional weights. Shared by Codebook._aggregate_topk
+    (full cosine matrix path) and PoseServer (device lax.top_k path).
+    Returns (Rs (B,3,3), rendered_bbs (B,4), top1 idcs (B,))."""
+    from .geometry.transform import (
+        matrices_from_quaternions,
+        quaternions_from_matrices,
+    )
+
+    part = np.asarray(part)
+    sims = np.asarray(sims)
+    top1 = part[:, 0]
+
+    quats = quaternions_from_matrices(viewsphere[part])  # (B,k,4)
+    # sign-align to each row's top-1 so the linear blend is well-posed
+    dots = np.sum(quats * quats[:, :1], axis=-1)
+    quats = np.where(dots[..., None] < 0, -quats, quats)
+    # angular distance to top-1: 2*arccos(|<q, q0>|) <= agg_angle_deg
+    inlier = np.abs(dots) >= np.cos(np.radians(agg_angle_deg) / 2.0)
+    # similarity-proportional weights above the row's k-th similarity;
+    # the top-1 always has positive weight (strictly best) or, in the
+    # all-equal degenerate case, the +eps keeps it selected alone
+    w = (sims - sims[:, -1:] + 1e-9) * inlier
+    w /= w.sum(axis=1, keepdims=True)
+
+    q_mean = (quats * w[..., None]).sum(axis=1)
+    Rs = matrices_from_quaternions(q_mean)
+    rbbs = np.asarray(embed_obj_bbs[part], dtype=np.float64)
+    rendered_bbs = (rbbs * w[..., None]).sum(axis=1)
+    return Rs, rendered_bbs, top1
+
+
 class Codebook:
     """A per-object codebook bound to an encoder."""
 
@@ -355,31 +399,10 @@ class Codebook:
         similarity neighborhood interpolates between bins, recovering
         precision the argmax discards. Returns (Rs (B,3,3),
         rendered_bbs (B,4), top1 idcs (B,))."""
-        from .geometry.transform import (
-            matrices_from_quaternions,
-            quaternions_from_matrices,
-        )
-
         part, sims = self._topk_partition(cos, k, upright)
-        top1 = part[:, 0]
-
-        quats = quaternions_from_matrices(self.viewsphere[part])  # (B,k,4)
-        # sign-align to each row's top-1 so the linear blend is well-posed
-        dots = np.sum(quats * quats[:, :1], axis=-1)
-        quats = np.where(dots[..., None] < 0, -quats, quats)
-        # angular distance to top-1: 2*arccos(|<q, q0>|) <= agg_angle_deg
-        inlier = np.abs(dots) >= np.cos(np.radians(agg_angle_deg) / 2.0)
-        # similarity-proportional weights above the row's k-th similarity;
-        # the top-1 always has positive weight (strictly best) or, in the
-        # all-equal degenerate case, the +eps keeps it selected alone
-        w = (sims - sims[:, -1:] + 1e-9) * inlier
-        w /= w.sum(axis=1, keepdims=True)
-
-        q_mean = (quats * w[..., None]).sum(axis=1)
-        Rs = matrices_from_quaternions(q_mean)
-        rbbs = np.asarray(self.embed_obj_bbs[part], dtype=np.float64)
-        rendered_bbs = (rbbs * w[..., None]).sum(axis=1)
-        return Rs, rendered_bbs, top1
+        return aggregate_candidates(
+            self.viewsphere, self.embed_obj_bbs, part, sims, agg_angle_deg
+        )
 
     def auto_pose6d_batch(
         self,

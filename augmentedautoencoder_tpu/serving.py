@@ -35,6 +35,7 @@ from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
+from .codebook import aggregate_candidates
 from .pose.estimator import AePoseEstimator, extract_square_patch_centered
 from .pose.interfaces import BoundingBox, PoseEstimate
 
@@ -139,8 +140,6 @@ class PoseServer:
         # with 3 present (PERF.md round 3).
         self._params_by_class = {}
         codebooks = []
-        self._viewspheres = []
-        self._obj_bbs = []
         for c in self.classes:
             experiment_name, experiment_group = split_experiment_name(
                 self._est.class_2_encoder[c]
@@ -153,8 +152,6 @@ class PoseServer:
             )
             cb = self._est.all_codebooks[c]
             codebooks.append(np.asarray(cb.embedding_normalized))
-            self._viewspheres.append(cb.viewsphere)
-            self._obj_bbs.append(np.asarray(cb.embed_obj_bbs))
         slab, lengths = stack_codebooks(codebooks)
         slab_dtype = jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
         self._slab = jnp.asarray(slab, slab_dtype)
@@ -191,6 +188,28 @@ class PoseServer:
 
         self._query_xla = _query_xla
 
+        # test-time aggregation / depth re-scoring need the k best matches,
+        # not just the argmax: same masked matmul + a device lax.top_k (the
+        # (B,k) readback replaces the (B,) one — still tiny). Used on every
+        # backend incl. TPU; the fused Pallas top-1 kernel stays the k=1 path.
+        self._query_k = max(
+            self._est._topk_aggregate, self._est._topk_rescore, 1
+        )
+        k_static = self._query_k
+
+        @jax.jit
+        def _query_topk_xla(z, cb2d, n_valid):
+            zn = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+            cos = jnp.matmul(
+                zn.astype(cb2d.dtype), cb2d.T, preferred_element_type=jnp.float32
+            )
+            col = jnp.arange(cos.shape[-1], dtype=jnp.int32)
+            cos = jnp.where(col[None, :] < n_valid, cos, -2.0)
+            vals, idcs = jax.lax.top_k(cos, k_static)  # sorted best-first
+            return vals, idcs.astype(jnp.int32)
+
+        self._query_topk_xla = _query_topk_xla
+
     # ------------------------------------------------------------- profiling
     def _stage_timer(self):
         """Stage-accumulating context factory; a shared no-op when off."""
@@ -221,7 +240,10 @@ class PoseServer:
     def _query(self, z, oi: int):
         """Top-1 codebook match for one class: scalar-prefetch Pallas
         kernel on TPU (DMAs only this object's slab tiles), masked matmul
-        elsewhere."""
+        elsewhere. With aggregation/re-scoring configured (k > 1) the
+        lax.top_k variant returns the (B,k) ranked candidates instead."""
+        if self._query_k > 1:
+            return self._query_topk_xla(z, self._slab[oi], self._len_dev[oi])
         if self._on_tpu:
             from .ops.multi_codebook import grouped_codebook_top1
 
@@ -263,7 +285,9 @@ class PoseServer:
         # configured class. Classes with more than max_dets detections
         # dispatch ceil(n/max_dets) fixed-shape chunks (same compiled step;
         # nothing is silently dropped).
-        want_icp = depth_img is not None and self._est._use_icp
+        want_icp = depth_img is not None and (
+            self._est._use_icp or self._est._topk_rescore > 1
+        )
         vals: Dict[str, object] = {}
         idcs: Dict[str, object] = {}
         host_crops: Dict[str, np.ndarray] = {}
@@ -321,46 +345,67 @@ class PoseServer:
         results: List[Optional[PoseEstimate]] = [None] * len(h.bboxes)
         prof = self._stage_timer()
         for cls, det_idcs in h.by_class.items():
-            oi = self.classes.index(cls)
-            # chunked dispatch: concatenate the per-chunk (max_dets,) index
-            # arrays; row c*max_dets+k is detection k of chunk c, so the
-            # flattened order matches det_idcs
+            n = len(det_idcs)
+            # chunked dispatch: concatenate the per-chunk (max_dets, ...)
+            # arrays; row c*max_dets+k is detection k of chunk c and every
+            # chunk before the last is full, so flat row k IS detection k —
+            # rows past n are padding, dropped by the [:n]
             with prof("readback"):
-                cls_idcs = np.concatenate([np.asarray(a) for a in h.idcs[cls]])
+                cls_idcs = np.concatenate(
+                    [np.asarray(a) for a in h.idcs[cls]]
+                )[:n]
+                if self._query_k > 1:
+                    cls_vals = np.concatenate(
+                        [np.asarray(a) for a in h.vals[cls]]
+                    )[:n]
             cfg = self._est.all_train_cfgs[cls]
-            K_train, radius = cfg.K, cfg.radius
+            cb = self._est.all_codebooks[cls]
             K_test = h.camK
-            K_diag_ratio = np.sqrt(
-                K_test[0, 0] ** 2 + K_test[1, 1] ** 2
-            ) / np.sqrt(K_train[0, 0] ** 2 + K_train[1, 1] ** 2)
-            Rs_cls, ts_cls = [], []
+            pred_bbs = np.stack(
+                [h.box_xywhs[j] for j in det_idcs]
+            ).astype(np.float64)
+            fixed_idcs = None
             with prof("pose_math"):
-                for k, j in enumerate(det_idcs):
-                    idx = int(cls_idcs[k])
-                    R = self._viewspheres[oi][idx].copy()
-                    rendered_bb = self._obj_bbs[oi][idx].astype(np.float64)
-                    pred_bb = np.asarray(h.box_xywhs[j], np.float64)
-                    diag_ratio = np.linalg.norm(
-                        np.float32(rendered_bb[2:])
-                    ) / np.linalg.norm(np.float32(pred_bb[2:]))
-                    z = diag_ratio * K_diag_ratio * radius
-                    cx_tr = rendered_bb[0] + rendered_bb[2] / 2.0 - K_train[0, 2]
-                    cy_tr = rendered_bb[1] + rendered_bb[3] / 2.0 - K_train[1, 2]
-                    cx_te = pred_bb[0] + pred_bb[2] / 2.0 - K_test[0, 2]
-                    cy_te = pred_bb[1] + pred_bb[3] / 2.0 - K_test[1, 2]
-                    tx = cx_te * z / K_test[0, 0] - cx_tr * radius / K_train[0, 0]
-                    ty = cy_te * z / K_test[1, 1] - cy_tr * radius / K_train[1, 1]
-                    t = np.array([tx, ty, z])
-                    d_ay = np.arctan(t[0] / np.sqrt(t[2] ** 2 + t[1] ** 2))
-                    d_ax = -np.arctan(t[1] / t[2])
-                    ca, sa = np.cos(d_ax), np.sin(d_ax)
-                    cb_, sb = np.cos(d_ay), np.sin(d_ay)
-                    R_cx = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
-                    R_cy = np.array([[cb_, 0, sb], [0, 1, 0], [-sb, 0, cb_]])
-                    Rs_cls.append(R_cy @ R_cx @ R)
-                    ts_cls.append(t)
+                if self._est._topk_aggregate > 1:
+                    # blend the ranked candidates (codebook.py semantics)
+                    R0, rendered_bbs, _ = aggregate_candidates(
+                        cb.viewsphere, cb.embed_obj_bbs, cls_idcs, cls_vals
+                    )
+                    Rs_cls, ts_cls = cb._solve_6d(
+                        R0, rendered_bbs, pred_bbs, K_test, cfg
+                    )
+                elif self._est._topk_rescore > 1 and h.depth_img is not None:
+                    # expand all candidates, keep the best depth match
+                    from .pose.rescore import select_best_hypothesis
 
-            if h.depth_img is not None and Rs_cls:
+                    k = cls_idcs.shape[1]
+                    Rs_f, ts_f = cb.pose6d_from_indices(
+                        cls_idcs, pred_bbs, K_test, cfg
+                    )
+                    Hd, Wd = h.depth_img.shape[:2]
+                    best, _ = select_best_hypothesis(
+                        self._est._icp_handle().renderers[cls].renderer,
+                        K_test, (Wd, Hd), h.depth_img,
+                        Rs_f.reshape(n, k, 3, 3), ts_f.reshape(n, k, 3),
+                        tau=self._est._rescore_tau,
+                    )
+                    rows = np.arange(n)
+                    Rs_cls = Rs_f.reshape(n, k, 3, 3)[rows, best]
+                    ts_cls = ts_f.reshape(n, k, 3)[rows, best]
+                    fixed_idcs = cls_idcs[rows, best]
+                else:
+                    idcs_1 = (
+                        cls_idcs[:, 0] if cls_idcs.ndim == 2 else cls_idcs
+                    )
+                    Rs_cls, ts_cls = cb.pose6d_from_indices(
+                        idcs_1, pred_bbs, K_test, cfg
+                    )
+            Rs_cls, ts_cls = list(Rs_cls), list(ts_cls)
+
+            use_icp = (
+                h.depth_img is not None and self._est._use_icp and Rs_cls
+            )
+            if use_icp:
                 # batched 3-stage depth refinement (poses still in mm here)
                 with prof("icp"):
                     depth_crops = []
@@ -384,6 +429,8 @@ class PoseServer:
                             [h.box_xywhs[j] for j in det_idcs]
                         ).astype(np.float64),
                         train_cfg=cfg, upright=self._est._upright,
+                        topk_aggregate=self._est._topk_aggregate,
+                        fixed_idcs=fixed_idcs,
                     )
 
             for k, j in enumerate(det_idcs):

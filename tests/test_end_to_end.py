@@ -431,6 +431,77 @@ class TestEndToEnd:
         assert all(v >= 0.0 for v in summary.values())
         assert prof.profile_frames == 2
 
+    def test_pose_server_aggregate_and_rescore_knobs(
+        self, workspace, monkeypatch, tmp_path
+    ):
+        """PoseServer honors topk_aggregate (device lax.top_k + shared
+        aggregate_candidates blend) and topk_rescore (hypothesis expansion +
+        depth re-scoring) — each must match the AePoseEstimator running the
+        same m3 config on the same frame."""
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+        from augmentedautoencoder_tpu.pose import AePoseEstimator, BoundingBox
+        from augmentedautoencoder_tpu.serving import PoseServer
+
+        base = (
+            "[auto_pose]\n"
+            "camPose = False\nupright = False\ntopk = 1\n"
+            "color_format = bgr\ncolor_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj'}\n"
+        )
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        bgr, depth = dataset.renderer.render(
+            0, W, H, cfg.K, codebook.viewsphere[7],
+            np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+        box = BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                          ymax=(y + h) / H, classes={"sphere": 0.99})
+
+        agg_cfg = tmp_path / "m3_agg.cfg"
+        agg_cfg.write_text(base + "topk_aggregate = 4\n")
+        ref = AePoseEstimator(str(agg_cfg)).process(
+            [box], color_img=bgr, camK=cfg.K
+        )
+        srv = PoseServer(str(agg_cfg), max_dets_per_class=2)
+        assert srv._query_k == 4
+        out = srv.process([box], bgr, cfg.K)
+        np.testing.assert_allclose(out[0].trafo, ref[0].trafo, atol=1e-4)
+        # the blend must differ from the plain argmax pose (k>1 is live)
+        plain_cfg = tmp_path / "m3_plain.cfg"
+        plain_cfg.write_text(base)
+        plain = PoseServer(str(plain_cfg), max_dets_per_class=2)
+        p0 = plain.process([box], bgr, cfg.K)
+        assert np.abs(out[0].trafo - p0[0].trafo).max() > 0
+
+        rs_cfg = tmp_path / "m3_rs.cfg"
+        rs_cfg.write_text(base + "topk_rescore = 4\n")
+        est_rs = AePoseEstimator(str(rs_cfg))
+        assert "depth_img" in est_rs.query_process_requirements()
+        ref_rs = est_rs.process(
+            [box], color_img=bgr, camK=cfg.K, depth_img=depth
+        )
+        srv_rs = PoseServer(str(rs_cfg), max_dets_per_class=2)
+        out_rs = srv_rs.process([box], bgr, cfg.K, depth_img=depth)
+        np.testing.assert_allclose(out_rs[0].trafo, ref_rs[0].trafo, atol=1e-4)
+        # without depth the rescore server falls back to the argmax path
+        out_nodepth = srv_rs.process([box], bgr, cfg.K)
+        np.testing.assert_allclose(
+            out_nodepth[0].trafo, p0[0].trafo, atol=1e-6
+        )
+
+        both = tmp_path / "m3_both.cfg"
+        both.write_text(base + "topk_aggregate = 4\ntopk_rescore = 4\n")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            AePoseEstimator(str(both))
+
     def test_estimator_tta_and_topk_aggregate_knobs(
         self, workspace, monkeypatch, tmp_path
     ):

@@ -336,7 +336,7 @@ class TestEvalPipeline:
         captured = []
 
         class StubCodebook:
-            def auto_pose6d_batch(self, crops, bbs, K_, cfg):
+            def auto_pose6d_batch(self, crops, bbs, K_, cfg, **kw):
                 captured.append(crops.copy())
                 n = crops.shape[0]
                 return (np.tile(np.eye(3), (n, 1, 1)),

@@ -14,12 +14,12 @@ import os
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-# recorded round-3 baselines on the SAME scene set (PERF.md AUXILIARY_MASK study)
+# round-4 baselines, measured on the SAME seeded shared scene set the _cmp
+# arms re-eval on (the round-3 numbers lived on a scene set /tmp wipes
+# destroyed; scene gen is seeded now, so these stay valid across sessions)
 BASELINES = [
-    ("plain (default chain)", {"median_re_deg": 12.26, "re_recall@15deg": 0.58,
-                               "vsd_recall@0.3": 0.380}),
-    ("clutter p=0.5 (recipe)", {"median_re_deg": 7.03, "re_recall@15deg": 0.847,
-                                "vsd_recall@0.3": 0.513}),
+    ("plain (default chain)", "quality_vsd_asym_plain_r4_inst3_icp_cmp.json"),
+    ("clutter p=0.5 (recipe)", "quality_vsd_asym_clutter_inst3_icp_r4seed.json"),
 ]
 
 ARMS = [
@@ -29,8 +29,8 @@ ARMS = [
 
 
 def main() -> None:
-    rows = list(BASELINES)
-    for label, fname in ARMS:
+    rows = []
+    for label, fname in BASELINES + ARMS:
         path = os.path.join(HERE, fname)
         if not os.path.exists(path):
             print(f"(missing: {fname} — run scripts/run_pending_variant_arms.sh)")

@@ -40,6 +40,11 @@ class EvalConfig:
     # matches the observed depth (tau = vsd_tau). 1 = off. Mutually
     # exclusive with topk_aggregate.
     topk_rescore: int = 1
+    # frame-accurate ICP cloud geometry (pose/icp.py _refinement_clouds):
+    # render the synthetic depth at the estimated lateral position instead
+    # of the reference's centered render — removes the off-center x/y bias.
+    # False = strict reference geometry.
+    icp_frame_accurate: bool = False
 
     # [EVALUATION]
     compute_errors: bool = True
@@ -119,6 +124,9 @@ def load_eval_config(path_or_parser) -> EvalConfig:
     cfg.topk_aggregate = get("BBOXES", "TOPK_AGGREGATE", cfg.topk_aggregate)
     cfg.tta_crops = get("BBOXES", "TTA_CROPS", cfg.tta_crops)
     cfg.topk_rescore = get("BBOXES", "TOPK_RESCORE", cfg.topk_rescore)
+    cfg.icp_frame_accurate = get(
+        "BBOXES", "ICP_FRAME_ACCURATE", cfg.icp_frame_accurate
+    )
     if cfg.topk_rescore > 1 and cfg.topk_aggregate > 1:
         raise ValueError(
             "TOPK_RESCORE and TOPK_AGGREGATE are mutually exclusive: "

@@ -247,7 +247,7 @@ class Evaluator:
         if ec.icp and self.icp_handle is not None:
             t1 = time.time()
             depth = loader.load_depth(im_id)
-            depth_crops = []
+            depth_crops, crop_offsets = [], []
             for k in range(len(gt_idcs)):
                 # square bbox-centered depth crop, un-resized (reference
                 # eval_utils.py:105-118) — icp_refinement re-centers K on
@@ -259,6 +259,7 @@ class Evaluator:
                 top = int(max(y + h / 2 - size / 2, 0))
                 bottom = int(min(y + h / 2 + size / 2, H))
                 depth_crops.append(depth[top:bottom, left:right])
+                crop_offsets.append((left, top))
             # every device stage batches across the frame's estimates —
             # one dispatch + one fetch per stage, not per estimate
             if hasattr(self.icp_handle, "refine_batch"):
@@ -268,6 +269,9 @@ class Evaluator:
                     det_bbs=np.stack(bbs), train_cfg=self.train_cfg,
                     topk_aggregate=ec.topk_aggregate, tta=tta,
                     fixed_idcs=idcs if ec.topk_rescore > 1 else None,
+                    crop_offsets=(
+                        crop_offsets if ec.icp_frame_accurate else None
+                    ),
                 )
             else:  # custom handle exposing only per-estimate refine()
                 Rs, ts = list(Rs), list(ts)

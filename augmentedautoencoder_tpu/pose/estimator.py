@@ -104,6 +104,11 @@ class AePoseEstimator(PoseEstInterface):
         # [auto_pose]; applies when process() receives depth_img (same units
         # as the training meshes, i.e. mm).
         self._use_icp = test_args.getboolean("auto_pose", "use_icp", fallback=False)
+        # frame-accurate ICP cloud geometry (pose/icp.py _refinement_clouds);
+        # False = the reference's centered-render geometry
+        self._icp_frame_accurate = test_args.getboolean(
+            "auto_pose", "icp_frame_accurate", fallback=False
+        )
         self._icp = None
 
         self._process_requirements = ["color_img", "camK", "bboxes"]
@@ -247,7 +252,7 @@ class AePoseEstimator(PoseEstInterface):
             if self._use_icp and depth_img is not None:
                 # square bbox-centered un-resized depth crops (the geometry
                 # icp_refinement's K re-centering assumes)
-                depth_crops = []
+                depth_crops, crop_offsets = [], []
                 for j in det_idcs:
                     x, y, w, h = (int(v) for v in box_xywhs[j])
                     size = int(max(h, w) * self.pad_factors[class_name])
@@ -256,6 +261,7 @@ class AePoseEstimator(PoseEstInterface):
                     top = max(int(y + h / 2 - size / 2), 0)
                     bottom = min(int(y + h / 2 + size / 2), H)
                     depth_crops.append(depth_img[top:bottom, left:right])
+                    crop_offsets.append((left, top))
                 Rs, ts = self._icp_handle().refine_batch(
                     depth_crops, Rs, ts, camK, (W, H), class_name=class_name,
                     codebook=codebook,
@@ -263,6 +269,9 @@ class AePoseEstimator(PoseEstInterface):
                     det_bbs=bbs, train_cfg=cfg, upright=self._upright,
                     topk_aggregate=self._topk_aggregate, tta=tta,
                     fixed_idcs=sel_idcs,
+                    crop_offsets=(
+                        crop_offsets if self._icp_frame_accurate else None
+                    ),
                 )
             for k, j in enumerate(det_idcs):
                 H_est = np.eye(4)

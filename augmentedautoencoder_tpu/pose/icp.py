@@ -307,27 +307,59 @@ def icp_refinement(
 
 def _refinement_clouds(
     depth_crop, icp_renderer, R_est, t_est, K_test, test_render_dims,
-    max_mean_dist_factor=2.0, obj_id=0, rng=None,
+    max_mean_dist_factor=2.0, obj_id=0, rng=None, crop_offset=None,
 ):
     """Host prep of one refinement: render, gate, subsample.
 
     Returns (A_sub (N_SUB,3) synthetic, B_sub (N_SUB,3) real) or None when
     the pass is gated out (object invisible / too little real depth).
     Flag-independent: the same clouds feed depth_only and no_depth stages.
+
+    crop_offset=None reproduces the reference's geometry (icp_utils.py:
+    248-270): synthetic depth rendered at [0, 0, tz] — i.e. CENTERED — and
+    the real crop re-projected through a crop-centered K. For an instance
+    far from the principal point the two clouds are then seen along
+    DIFFERENT viewing rays, which biases the fitted x/y by up to ~20 mm at
+    +-115 mm lateral offset (PERF.md round-4 ICP-geometry study). With
+    crop_offset=(left, top) of the depth crop in the full frame, the
+    frame-accurate variant renders AT the estimated lateral position and
+    slices the same window, so both clouds live in the true camera frame.
     """
     rng = rng or np.random
-    synthetic_pts = icp_renderer.generate_synthetic_depth(
-        K_test, R_est, t_est, test_render_dims, obj_id=obj_id
-    )
-    if len(synthetic_pts) == 0:
-        return None
-    centroid_syn = synthetic_pts.mean(axis=0)
-    max_mean_dist = np.max(np.linalg.norm(synthetic_pts - centroid_syn, axis=1))
+    if crop_offset is not None:
+        left, top = (int(v) for v in crop_offset)
+        _, syn_depth = icp_renderer.render_trafo(
+            K_test, R_est, t_est, test_render_dims, obj_id=obj_id
+        )
+        syn_crop = syn_depth[
+            top:top + depth_crop.shape[0], left:left + depth_crop.shape[1]
+        ]
+        K_crop = np.asarray(K_test, np.float64).copy()
+        K_crop[0, 2] -= left
+        K_crop[1, 2] -= top
+        synthetic_pts = rgbd_to_point_cloud(K_crop, syn_crop)[0]
+        if len(synthetic_pts) == 0:
+            return None
+        centroid_syn = synthetic_pts.mean(axis=0)
+        max_mean_dist = np.max(
+            np.linalg.norm(synthetic_pts - centroid_syn, axis=1)
+        )
+        real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
+    else:
+        synthetic_pts = icp_renderer.generate_synthetic_depth(
+            K_test, R_est, t_est, test_render_dims, obj_id=obj_id
+        )
+        if len(synthetic_pts) == 0:
+            return None
+        centroid_syn = synthetic_pts.mean(axis=0)
+        max_mean_dist = np.max(
+            np.linalg.norm(synthetic_pts - centroid_syn, axis=1)
+        )
 
-    K_crop = np.asarray(K_test, np.float64).copy()
-    K_crop[0, 2] = depth_crop.shape[0] / 2
-    K_crop[1, 2] = depth_crop.shape[1] / 2
-    real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
+        K_crop = np.asarray(K_test, np.float64).copy()
+        K_crop[0, 2] = depth_crop.shape[0] / 2
+        K_crop[1, 2] = depth_crop.shape[1] / 2
+        real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
 
     dist_to_syn = np.linalg.norm(real_pts - centroid_syn, axis=1)
     real_pts = real_pts[dist_to_syn < max_mean_dist_factor * max_mean_dist]
@@ -417,6 +449,7 @@ class ICP:
         topk_aggregate: int = 1,
         tta: int = 1,
         fixed_idcs=None,
+        crop_offsets=None,
     ):
         """Batched 3-stage refinement for every estimate of a frame/scene.
 
@@ -430,6 +463,11 @@ class ICP:
         re-querying: used after depth re-scoring (pose/rescore.py), where a
         fresh argmax would throw away the depth-selected candidate. The
         translation still re-solves at the stage-1-corrected depth.
+
+        `crop_offsets` (n, 2) = each depth crop's (left, top) in the full
+        frame enables the frame-accurate cloud geometry (see
+        `_refinement_clouds`); None keeps the reference's centered-render
+        geometry.
 
         Same algorithm as per-estimate `refine`, but each device stage is
         ONE vmapped dispatch + ONE host fetch for all n estimates (vs ~3
@@ -447,6 +485,9 @@ class ICP:
                 _refinement_clouds(
                     depth_crops[i], syn, Rs_in[i], ts_in[i], K_test,
                     test_render_dims, rng=rng,
+                    crop_offset=(
+                        crop_offsets[i] if crop_offsets is not None else None
+                    ),
                 )
                 for i in range(n)
             ]

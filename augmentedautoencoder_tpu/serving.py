@@ -408,7 +408,7 @@ class PoseServer:
             if use_icp:
                 # batched 3-stage depth refinement (poses still in mm here)
                 with prof("icp"):
-                    depth_crops = []
+                    depth_crops, crop_offsets = [], []
                     for j in det_idcs:
                         x, y, w, bh = (int(v) for v in h.box_xywhs[j])
                         size = int(max(bh, w) * self._est.pad_factors[cls])
@@ -418,6 +418,7 @@ class PoseServer:
                         top = max(int(y + bh / 2 - size / 2), 0)
                         bottom = min(int(y + bh / 2 + size / 2), Hd)
                         depth_crops.append(h.depth_img[top:bottom, left:right])
+                        crop_offsets.append((left, top))
                     Rs_cls, ts_cls = self._est._icp_handle().refine_batch(
                         depth_crops, Rs_cls, ts_cls, K_test,
                         h.depth_img.shape[:2][::-1], class_name=cls,
@@ -431,6 +432,10 @@ class PoseServer:
                         train_cfg=cfg, upright=self._est._upright,
                         topk_aggregate=self._est._topk_aggregate,
                         fixed_idcs=fixed_idcs,
+                        crop_offsets=(
+                            crop_offsets
+                            if self._est._icp_frame_accurate else None
+                        ),
                     )
 
             for k, j in enumerate(det_idcs):

@@ -112,6 +112,7 @@ ICP: {icp}
 TOPK_AGGREGATE: {topk_aggregate}
 TTA_CROPS: {tta_crops}
 TOPK_RESCORE: {topk_rescore}
+ICP_FRAME_ACCURATE: {icp_frame}
 
 [EVALUATION]
 COMPUTE_ERRORS: True
@@ -276,6 +277,10 @@ def main() -> None:
     parser.add_argument("--tta_crops", type=int, default=1,
                         help="average cosine votes over n jittered crops "
                              "per detection; 1 = single crop")
+    parser.add_argument("--icp_frame", action="store_true",
+                        help="frame-accurate ICP cloud geometry (render the "
+                             "synthetic depth at the estimated lateral "
+                             "position; the reference renders centered)")
     parser.add_argument("--topk_rescore", type=int, default=1,
                         help="depth re-scoring: expand the top-k codebook "
                              "matches into 6D hypotheses, keep the one whose "
@@ -362,8 +367,10 @@ def main() -> None:
         eval_name += f"_tta{args.tta_crops}"
     if args.topk_rescore > 1:
         eval_name += f"_rs{args.topk_rescore}"
+    if args.icp_frame:
+        eval_name += "_frame"
     with open(os.path.join(ws, "cfg_eval", "eval.cfg"), "w") as fh:
-        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1), gt_masks=args.gt_masks, topk_aggregate=args.topk_aggregate, tta_crops=args.tta_crops, topk_rescore=args.topk_rescore))
+        fh.write(EVAL_CFG.format(dataset_path=dataset_root, icp=args.icp, top_n_eval=(-1 if args.instances > 1 else 1), single_instance=(args.instances == 1), gt_masks=args.gt_masks, topk_aggregate=args.topk_aggregate, tta_crops=args.tta_crops, topk_rescore=args.topk_rescore, icp_frame=args.icp_frame))
     t0 = time.time()
     run_cli(ae_eval, ["asym_obj", eval_name])
     timings["eval_s"] = round(time.time() - t0, 1)
@@ -395,6 +402,7 @@ def main() -> None:
         "topk_aggregate": args.topk_aggregate,
         "tta_crops": args.tta_crops,
         "topk_rescore": args.topk_rescore,
+        "icp_frame_accurate": bool(args.icp_frame),
         "square_occlusion": bool(tc.square_occlusion),
         "realistic_occlusion": tc.realistic_occlusion,
         "neighbor_clutter": tc.neighbor_clutter,

@@ -237,13 +237,17 @@ class TestConfigPlumbing:
         p.write_text(
             "[METHOD]\nMETHOD: aae\n[DATA]\nDATASET: x\n"
             "[BBOXES]\nTOPK_AGGREGATE: 8\nTTA_CROPS: 5\n"
+            "ICP_FRAME_ACCURATE: True\n"
         )
         cfg = load_eval_config(str(p))
         assert cfg.topk_aggregate == 8
         assert cfg.tta_crops == 5
+        assert cfg.icp_frame_accurate is True
         # defaults = strict reference parity
         p2 = tmp_path / "eval2.cfg"
         p2.write_text("[METHOD]\nMETHOD: aae\n")
         cfg2 = load_eval_config(str(p2))
         assert cfg2.topk_aggregate == 1
         assert cfg2.tta_crops == 1
+        assert cfg2.topk_rescore == 1
+        assert cfg2.icp_frame_accurate is False

@@ -192,23 +192,54 @@ class PoseServer:
         # not just the argmax: same masked matmul + a device lax.top_k (the
         # (B,k) readback replaces the (B,) one — still tiny). Used on every
         # backend incl. TPU; the fused Pallas top-1 kernel stays the k=1 path.
+        # With `upright` the candidate set is the in-plane-rotation-free
+        # stride (reference codebook.py:66), so the stride (static, per
+        # class) restricts the argmax/top_k — same semantics as
+        # AePoseEstimator, which PoseServer must match result-for-result.
         self._query_k = max(
             self._est._topk_aggregate, self._est._topk_rescore, 1
         )
         k_static = self._query_k
+        self._nc_by_class = {
+            c: int(self._est.all_codebooks[c].num_cyclo) for c in self.classes
+        }
 
-        @jax.jit
-        def _query_topk_xla(z, cb2d, n_valid):
+        def _masked_cos(z, cb2d, n_valid):
             zn = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
             cos = jnp.matmul(
                 zn.astype(cb2d.dtype), cb2d.T, preferred_element_type=jnp.float32
             )
             col = jnp.arange(cos.shape[-1], dtype=jnp.int32)
-            cos = jnp.where(col[None, :] < n_valid, cos, -2.0)
-            vals, idcs = jax.lax.top_k(cos, k_static)  # sorted best-first
-            return vals, idcs.astype(jnp.int32)
+            return jnp.where(col[None, :] < n_valid, cos, -2.0)
 
-        self._query_topk_xla = _query_topk_xla
+        def _make_topk(stride):
+            @jax.jit
+            def _q(z, cb2d, n_valid):
+                cos = _masked_cos(z, cb2d, n_valid)[:, ::stride]
+                vals, idcs = jax.lax.top_k(cos, k_static)  # sorted best-first
+                return vals, (idcs * stride).astype(jnp.int32)
+
+            return _q
+
+        def _make_upright_top1(stride):
+            @jax.jit
+            def _q(z, cb2d, n_valid):
+                cos = _masked_cos(z, cb2d, n_valid)
+                idcs = jnp.argmax(cos[:, ::stride], axis=-1) * stride
+                vals = jnp.take_along_axis(cos, idcs[:, None], axis=-1)[:, 0]
+                return vals, idcs.astype(jnp.int32)
+
+            return _q
+
+        # one compiled query per distinct stride (1 unless upright)
+        self._query_topk_xla = {}
+        self._query_upright_xla = {}
+        for nc in set(self._nc_by_class.values()) | {1}:
+            stride = nc if self._est._upright else 1
+            if self._query_k > 1:
+                self._query_topk_xla[stride] = _make_topk(stride)
+            if self._est._upright and self._query_k == 1:
+                self._query_upright_xla[stride] = _make_upright_top1(stride)
 
     # ------------------------------------------------------------- profiling
     def _stage_timer(self):
@@ -241,9 +272,19 @@ class PoseServer:
         """Top-1 codebook match for one class: scalar-prefetch Pallas
         kernel on TPU (DMAs only this object's slab tiles), masked matmul
         elsewhere. With aggregation/re-scoring configured (k > 1) the
-        lax.top_k variant returns the (B,k) ranked candidates instead."""
+        lax.top_k variant returns the (B,k) ranked candidates instead;
+        `upright` restricts candidates to the in-plane-free stride."""
+        stride = (
+            self._nc_by_class[self.classes[oi]] if self._est._upright else 1
+        )
         if self._query_k > 1:
-            return self._query_topk_xla(z, self._slab[oi], self._len_dev[oi])
+            return self._query_topk_xla[stride](
+                z, self._slab[oi], self._len_dev[oi]
+            )
+        if self._est._upright:
+            return self._query_upright_xla[stride](
+                z, self._slab[oi], self._len_dev[oi]
+            )
         if self._on_tpu:
             from .ops.multi_codebook import grouped_codebook_top1
 

@@ -502,6 +502,24 @@ class TestEndToEnd:
         with pytest.raises(ValueError, match="mutually exclusive"):
             AePoseEstimator(str(both))
 
+        # upright restricts candidates to the in-plane-free stride — the
+        # server must match the estimator's upright results (it used to
+        # silently ignore the flag), with and without aggregation
+        for extra in ("", "topk_aggregate = 4\n"):
+            up_cfg = tmp_path / f"m3_up{len(extra)}.cfg"
+            up_cfg.write_text(
+                base.replace("upright = False", "upright = True") + extra
+            )
+            ref_up = AePoseEstimator(str(up_cfg)).process(
+                [box], color_img=bgr, camK=cfg.K
+            )
+            out_up = PoseServer(str(up_cfg), max_dets_per_class=2).process(
+                [box], bgr, cfg.K
+            )
+            np.testing.assert_allclose(
+                out_up[0].trafo, ref_up[0].trafo, atol=1e-4
+            )
+
     def test_estimator_tta_and_topk_aggregate_knobs(
         self, workspace, monkeypatch, tmp_path
     ):

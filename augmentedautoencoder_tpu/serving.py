@@ -26,6 +26,14 @@ detections one session.run at a time):
 Per-class crop batches are padded to a fixed `max_dets_per_class` so the
 jitted step has static shapes (one compile); classes with more detections
 dispatch multiple fixed-shape chunks — nothing is dropped.
+
+Test-time accuracy knobs from the m3 config are served natively (round 4):
+`topk_aggregate` switches the query to a device lax.top_k and blends the
+ranked candidates (codebook.aggregate_candidates), `topk_rescore` expands
+them into 6D hypotheses and keeps the best depth match (pose/rescore.py),
+`upright` restricts candidates to the in-plane-rotation-free stride, and
+`icp_frame_accurate` selects the frame-accurate ICP cloud geometry. All
+default off = single-argmax reference parity.
 """
 
 from __future__ import annotations

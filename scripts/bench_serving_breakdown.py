@@ -42,6 +42,10 @@ def main() -> None:
     parser.add_argument("--rounds", type=int, default=3)
     parser.add_argument("--precision", default="bfloat16",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--topk_aggregate", type=int, default=1,
+                        help="serve with top-k blending (lax.top_k query "
+                             "path) to measure the aggregation knob's "
+                             "frame-latency cost")
     parser.add_argument("--out", default="scripts/bench_serving_breakdown.json")
     args = parser.parse_args()
 
@@ -74,6 +78,7 @@ def main() -> None:
             "color_format = bgr\ncolor_data_type = np.float32\n"
             "depth_data_type = np.float32\n"
             f"serving_precision = {args.precision}\n"
+            f"topk_aggregate = {args.topk_aggregate}\n"
             f"class_2_encoder = {{{mapping}}}\n"
         )
 
@@ -137,6 +142,7 @@ def main() -> None:
         "dets_per_class": args.dets,
         "dets_per_frame": n_dets,
         "precision": args.precision,
+        "topk_aggregate": args.topk_aggregate,
         "stage_ms_per_frame": stages,
         "stage_sum_ms": round(sum(stages.values()), 3),
         "sync_ms_per_frame": round(sync_ms, 3),

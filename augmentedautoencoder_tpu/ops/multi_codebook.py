@@ -139,6 +139,128 @@ def grouped_codebook_top1(
     return vals[:, 0], idcs[:, 0]
 
 
+def _mc_topk_kernel(k, stride, obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref):
+    """Per-tile top-k selection (no cross-tile merge — each tile writes its
+    own (B, k) block; the caller runs one tiny lax.top_k over the
+    (B, num_tiles*k) result). `stride` masks the in-plane-rotation
+    candidates for `upright` serving (reference codebook.py:66): keeping
+    only cols with col % stride == 0 is exactly the XLA path's
+    cos[:, ::stride] candidate set, with indices already global."""
+    i = pl.program_id(0)
+    tile_n = cb_ref.shape[0]
+    n_valid = obj_ids_ref[1]
+
+    scores = jax.lax.dot_general(
+        z_ref[:], cb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, TILE) f32
+    col_local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    col = col_local + i * tile_n
+    valid = col < n_valid
+    if stride > 1:
+        valid = jnp.logical_and(valid, col % stride == 0)
+    scores = jnp.where(valid, scores, -2.0)
+
+    # k-step max-and-mask selection (k static -> unrolled). Ties resolve to
+    # the lowest index, and the tile-major output layout preserves that
+    # order through the caller's final top_k — bit-identical candidate sets
+    # vs a full-matrix lax.top_k.
+    vals = []
+    idcs = []
+    for _ in range(k):
+        v = jnp.max(scores, axis=1)
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        vals.append(v)
+        idcs.append(a + i * tile_n)
+        scores = jnp.where(col_local == a[:, None], -3.0, scores)
+    val_ref[:] = jnp.stack(vals, axis=1)
+    idx_ref[:] = jnp.stack(idcs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "stride", "tile_n"))
+def grouped_codebook_topk(
+    z: Array,
+    codebooks: Array,
+    obj_id: Array,
+    n_valid: Array | None = None,
+    *,
+    k: int,
+    stride: int = 1,
+    tile_n: int = _TILE_N,
+) -> Tuple[Array, Array]:
+    """Fused top-k for a batch of queries sharing ONE object id.
+
+    The serving aggregation / re-scoring path (`topk_aggregate` /
+    `topk_rescore`, PERF.md round 4) previously paid a device slice of the
+    (O, N_pad, D) slab plus a full (B, N) cosine materialization and an
+    XLA lax.top_k per present class per frame. This kernel keeps the
+    grouped top-1 shape: scalar-prefetched object id DMAs only that
+    object's tiles, scores on the MXU, and each grid step emits its tile's
+    top-k via k max-and-mask passes in VMEM — the (B, N) matrix never
+    exists in HBM and the whole query is ONE dispatch. A final lax.top_k
+    over the tiny (B, num_tiles*k) tile candidates (~360 cols at 92k rows,
+    k=8) produces the globally ranked result.
+
+    Returns (vals (B, k) f32, idcs (B, k) int32), sorted best-first —
+    same contract as lax.top_k over the full masked cosine row.
+    """
+    b, d = z.shape
+    o, n_pad, _ = codebooks.shape
+    assert n_pad % tile_n == 0
+    num_tiles = n_pad // tile_n
+    if n_valid is None:
+        n_valid = jnp.asarray(n_pad, jnp.int32)
+
+    from .nn_query import l2_normalize
+
+    q = l2_normalize(z).astype(codebooks.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i, obj: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_n, d),
+                lambda i, obj: (obj[0], i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, k), lambda i, obj: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i, obj: (0, i), memory_space=pltpu.VMEM),
+        ),
+    )
+
+    def kernel(obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref):
+        _mc_topk_kernel(
+            k, stride, obj_ids_ref, z_ref, cb_ref[0], val_ref, idx_ref
+        )
+
+    tile_vals, tile_idcs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, num_tiles * k), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_tiles * k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * n_pad + k * b * n_pad,
+            bytes_accessed=(n_pad + b) * d * codebooks.dtype.itemsize
+            + b * num_tiles * k * 8,
+            transcendentals=0,
+        ),
+    )(
+        jnp.stack([obj_id.astype(jnp.int32), jnp.asarray(n_valid, jnp.int32)]),
+        q,
+        codebooks,
+    )
+    vals, pos = jax.lax.top_k(tile_vals, k)
+    idcs = jnp.take_along_axis(tile_idcs, pos, axis=1)
+    return vals, idcs
+
+
 def stack_codebooks(codebooks, tile_n: int = _TILE_N) -> Tuple[np.ndarray, np.ndarray]:
     """Stack per-object (N_i, D) codebooks into (O, N_pad, D), zero-padded.
 

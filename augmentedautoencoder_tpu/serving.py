@@ -249,6 +249,13 @@ class PoseServer:
             if self._est._upright and self._query_k == 1:
                 self._query_upright_xla[stride] = _make_upright_top1(stride)
 
+        # lazy per-class 2D slab planes for the XLA query paths: indexing
+        # self._slab[oi] at call time dispatches a device slice (a fresh
+        # (N_pad, D) HBM copy) EVERY frame — cache the plane once per class
+        # actually queried instead (bounded by present classes, so the HBM
+        # cost never doubles the whole slab for large deployments)
+        self._plane_cache: Dict[int, object] = {}
+
     # ------------------------------------------------------------- profiling
     def _stage_timer(self):
         """Stage-accumulating context factory; a shared no-op when off."""
@@ -276,22 +283,41 @@ class PoseServer:
         n = max(self.profile_frames, 1)
         return {k: 1e3 * v / n for k, v in sorted(self.profile_times.items())}
 
+    def _plane(self, oi: int):
+        """This class's (N_pad, D) slab plane, sliced once and cached."""
+        if oi not in self._plane_cache:
+            self._plane_cache[oi] = self._slab[oi]
+        return self._plane_cache[oi]
+
     def _query(self, z, oi: int):
         """Top-1 codebook match for one class: scalar-prefetch Pallas
         kernel on TPU (DMAs only this object's slab tiles), masked matmul
         elsewhere. With aggregation/re-scoring configured (k > 1) the
-        lax.top_k variant returns the (B,k) ranked candidates instead;
-        `upright` restricts candidates to the in-plane-free stride."""
+        TPU path is the fused grouped top-k kernel (same single-dispatch
+        shape as top-1, PERF.md round 4); off-TPU a lax.top_k variant
+        returns the (B,k) ranked candidates. `upright` restricts
+        candidates to the in-plane-free stride in both."""
         stride = (
             self._nc_by_class[self.classes[oi]] if self._est._upright else 1
         )
         if self._query_k > 1:
+            if self._on_tpu:
+                from .ops.multi_codebook import grouped_codebook_topk
+
+                return grouped_codebook_topk(
+                    z,
+                    self._slab,
+                    self._obj_dev[oi],
+                    self._len_dev[oi],
+                    k=self._query_k,
+                    stride=stride,
+                )
             return self._query_topk_xla[stride](
-                z, self._slab[oi], self._len_dev[oi]
+                z, self._plane(oi), self._len_dev[oi]
             )
         if self._est._upright:
             return self._query_upright_xla[stride](
-                z, self._slab[oi], self._len_dev[oi]
+                z, self._plane(oi), self._len_dev[oi]
             )
         if self._on_tpu:
             from .ops.multi_codebook import grouped_codebook_top1
@@ -299,7 +325,7 @@ class PoseServer:
             return grouped_codebook_top1(
                 z, self._slab, self._obj_dev[oi], self._len_dev[oi]
             )
-        return self._query_xla(z, self._slab[oi], self._len_dev[oi])
+        return self._query_xla(z, self._plane(oi), self._len_dev[oi])
 
     # ---------------------------------------------------------------- submit
     def submit(

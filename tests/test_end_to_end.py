@@ -520,6 +520,66 @@ class TestEndToEnd:
                 out_up[0].trafo, ref_up[0].trafo, atol=1e-4
             )
 
+    def test_pose_server_topk_kernel_path_interpret(
+        self, workspace, monkeypatch, tmp_path
+    ):
+        """The serving TPU branch for k>1 (fused grouped top-k Pallas
+        kernel) must produce the same poses as the XLA lax.top_k path —
+        exercised on CPU by forcing _on_tpu and interpret-mode pallas,
+        with and without the upright stride."""
+        from functools import partial
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+        from augmentedautoencoder_tpu.pose import BoundingBox
+        from augmentedautoencoder_tpu.serving import PoseServer
+
+        base = (
+            "[auto_pose]\n"
+            "camPose = False\nupright = False\ntopk = 1\n"
+            "color_format = bgr\ncolor_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {'sphere': 'e2e_obj'}\n"
+            "topk_aggregate = 4\n"
+        )
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        bgr, depth = dataset.renderer.render(
+            0, W, H, cfg.K, codebook.viewsphere[7],
+            np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+        box = BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                          ymax=(y + h) / H, classes={"sphere": 0.99})
+
+        for upright in (False, True):
+            txt = base if not upright else base.replace(
+                "upright = False", "upright = True"
+            )
+            m3 = tmp_path / f"m3_kernel_{upright}.cfg"
+            m3.write_text(txt)
+            srv = PoseServer(str(m3), max_dets_per_class=2)
+            ref = srv.process([box], bgr, cfg.K)  # XLA path (CPU backend)
+
+            srv2 = PoseServer(str(m3), max_dets_per_class=2)
+            srv2._on_tpu = True
+            orig = pl.pallas_call
+            with mock.patch.object(
+                pl, "pallas_call", partial(orig, interpret=True)
+            ):
+                out = srv2.process([box], bgr, cfg.K)
+            np.testing.assert_allclose(
+                out[0].trafo, ref[0].trafo, atol=1e-5
+            )
+
     def test_estimator_tta_and_topk_aggregate_knobs(
         self, workspace, monkeypatch, tmp_path
     ):

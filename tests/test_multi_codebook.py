@@ -93,6 +93,102 @@ class TestMixedQuery:
         assert (np.asarray(idcs) < 64).all()
 
 
+class TestGroupedTopK:
+    """Fused grouped top-k kernel (interpret mode) vs the full-matrix
+    lax.top_k contract the serving XLA path implements."""
+
+    @staticmethod
+    def _run_kernel(z, slab, obj, n_valid, k, stride=1, tile_n=256):
+        from functools import partial
+        from unittest import mock
+
+        import jax
+        from jax.experimental import pallas as pl
+
+        from augmentedautoencoder_tpu.ops.multi_codebook import (
+            grouped_codebook_topk,
+        )
+
+        orig = pl.pallas_call
+        with jax.disable_jit():
+            with mock.patch.object(pl, "pallas_call", partial(orig, interpret=True)):
+                return grouped_codebook_topk.__wrapped__(
+                    jnp.asarray(z),
+                    slab,
+                    jnp.asarray(obj, jnp.int32),
+                    jnp.asarray(n_valid, jnp.int32),
+                    k=k,
+                    stride=stride,
+                    tile_n=tile_n,
+                )
+
+    @staticmethod
+    def _expect(z, cb, k, stride=1):
+        zn = z / np.linalg.norm(z, axis=1, keepdims=True)
+        cos = zn @ cb.T
+        if stride > 1:
+            cos = cos[:, ::stride]
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+        vals = np.take_along_axis(cos, order, axis=1)
+        return vals, order * stride
+
+    def test_matches_full_topk_across_tiles(self):
+        # 3 tiles of 256 with ragged true length — candidates must be
+        # collected across tile boundaries and padded rows never rank.
+        cbs = make_codebooks([700, 300])
+        slab, lengths = stack_codebooks(cbs, tile_n=256)
+        rng = np.random.RandomState(7)
+        z = rng.randn(5, 32).astype(np.float32)
+        for obj in (0, 1):
+            vals, idcs = self._run_kernel(
+                z, jnp.asarray(slab), obj, lengths[obj], k=8
+            )
+            evals, eidcs = self._expect(z, cbs[obj], k=8)
+            np.testing.assert_array_equal(np.asarray(idcs), eidcs)
+            np.testing.assert_allclose(np.asarray(vals), evals, atol=1e-5)
+            # sorted best-first, the lax.top_k contract
+            assert (np.diff(np.asarray(vals), axis=1) <= 1e-7).all()
+
+    def test_upright_stride_masking(self):
+        # stride masking == the XLA path's cos[:, ::stride] candidate set
+        # with already-global indices (serving upright semantics).
+        cbs = make_codebooks([512], d=32, seed=9)
+        slab, lengths = stack_codebooks(cbs, tile_n=128)
+        z = np.random.RandomState(11).randn(4, 32).astype(np.float32)
+        vals, idcs = self._run_kernel(
+            z, jnp.asarray(slab), 0, lengths[0], k=4, stride=8, tile_n=128
+        )
+        evals, eidcs = self._expect(z, cbs[0], k=4, stride=8)
+        np.testing.assert_array_equal(np.asarray(idcs), eidcs)
+        np.testing.assert_allclose(np.asarray(vals), evals, atol=1e-5)
+        assert (np.asarray(idcs) % 8 == 0).all()
+
+    def test_bf16_slab_f32_ranking(self):
+        cbs = make_codebooks([300, 200])
+        slab, lengths = stack_codebooks(cbs, tile_n=256)
+        z = np.random.RandomState(13).randn(6, 32).astype(np.float32)
+        vals, idcs = self._run_kernel(
+            z, jnp.asarray(slab, jnp.bfloat16), 0, lengths[0], k=3
+        )
+        assert vals.dtype == jnp.float32
+        _, eidcs = self._expect(z, cbs[0], k=3)
+        np.testing.assert_array_equal(np.asarray(idcs), eidcs)
+
+    def test_k_exceeds_single_tile_survivors(self):
+        # k larger than any one tile's valid candidate count: the final
+        # merge must pull from multiple tiles (and sentinels never rank
+        # while real candidates remain).
+        cbs = make_codebooks([40 + 64, 64])  # object 0: 104 valid over 2 tiles
+        slab, lengths = stack_codebooks(cbs, tile_n=64)
+        z = np.random.RandomState(17).randn(3, 32).astype(np.float32)
+        vals, idcs = self._run_kernel(
+            z, jnp.asarray(slab), 0, lengths[0], k=64, tile_n=64
+        )
+        evals, eidcs = self._expect(z, cbs[0], k=64)
+        np.testing.assert_array_equal(np.asarray(idcs), eidcs)
+        assert (np.asarray(vals) > -2.0).all()  # all real candidates
+
+
 class TestBf16Slab:
     def test_grouped_kernel_interpret_bf16(self):
         """bf16 serving slab through the scalar-prefetch kernel (interpret

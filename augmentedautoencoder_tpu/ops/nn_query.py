@@ -180,3 +180,49 @@ def make_cosine_top1_sharded(mesh, axis: str = "data"):
         return val, idx.astype(jnp.int32)
 
     return query
+
+
+def make_cosine_topk_sharded(mesh, k: int, axis: str = "data"):
+    """Row-sharded top-k query for the serving aggregation path at
+    multi-chip scale (`topk_aggregate` / `topk_rescore`, PERF.md round 4).
+
+    Same deployment shape as make_cosine_top1_sharded — codebook rows
+    shard over `axis`, queries replicate — but communication-explicit via
+    shard_map: each device ranks its OWN rows' top-k (a local lax.top_k
+    over (B, N/S)), then the (B, k) candidate lists all_gather over ICI
+    and re-rank. Cross-device traffic is O(B * k * n_shards) scalars —
+    never the (B, N) similarity matrix, and 8x less than gathering row
+    maxima per query at k=8 on 8 shards vs a replicated matmul's N rows.
+
+    Ties resolve to the lowest global row index (gathered candidates are
+    shard-major ascending), matching lax.top_k over the full matrix.
+
+    Returns a jitted (z, codebook) -> (vals (B, k), idcs (B, k)) whose
+    codebook argument must be placed row-sharded
+    (parallel.codebook_sharding(shard_rows=True)).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(axis, None))
+
+    def _local(z, cb):
+        # z replicated (B, D); cb this shard's (N/S, D) rows
+        q = l2_normalize(z).astype(cb.dtype)
+        cos = jnp.matmul(q, cb.T, preferred_element_type=jnp.float32)
+        v, i = jax.lax.top_k(cos, k)  # (B, k) local, best-first
+        offset = jax.lax.axis_index(axis) * cb.shape[0]
+        i = (i + offset).astype(jnp.int32)
+        vg = jax.lax.all_gather(v, axis, axis=1, tiled=True)  # (B, k*S)
+        ig = jax.lax.all_gather(i, axis, axis=1, tiled=True)
+        vals, pos = jax.lax.top_k(vg, k)
+        return vals, jnp.take_along_axis(ig, pos, axis=1)
+
+    shmapped = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shmapped, in_shardings=(rep, rows), out_shardings=(rep, rep))

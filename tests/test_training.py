@@ -308,3 +308,43 @@ class TestShardedCodebookQuery:
         np.testing.assert_allclose(
             np.asarray(vals), np.asarray(want_vals)[:, 0], rtol=1e-6
         )
+
+    def test_row_sharded_topk_matches_replicated(self):
+        """The serving aggregation path at multi-chip scale: row-sharded
+        top-k (local per-shard top_k + all_gather of (B,k) candidates +
+        re-rank) returns exactly the single-device lax.top_k ranking,
+        including candidates that straddle shard boundaries."""
+        from augmentedautoencoder_tpu.ops.nn_query import (
+            cosine_similarity_topk,
+            make_cosine_topk_sharded,
+        )
+        from augmentedautoencoder_tpu.parallel import (
+            DATA_AXIS,
+            codebook_sharding,
+            make_mesh,
+        )
+
+        mesh = make_mesh()
+        rng = np.random.RandomState(1)
+        cb = rng.randn(4096, 32).astype(np.float32)
+        cb /= np.linalg.norm(cb, axis=1, keepdims=True)
+        z = rng.randn(16, 32).astype(np.float32)
+
+        cb_sharded = jax.device_put(
+            cb, codebook_sharding(mesh, shard_rows=True, axis=DATA_AXIS)
+        )
+        query = make_cosine_topk_sharded(mesh, k=8, axis=DATA_AXIS)
+        vals, idcs = query(jnp.asarray(z), cb_sharded)
+        assert vals.shape == (16, 8) and idcs.shape == (16, 8)
+
+        want_vals, want_idcs = cosine_similarity_topk(
+            jnp.asarray(z), jnp.asarray(cb), 8
+        )
+        np.testing.assert_array_equal(np.asarray(idcs), np.asarray(want_idcs))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(want_vals), rtol=1e-6
+        )
+        # the top-8 really does straddle shards for at least one query
+        # (otherwise the gather/re-rank path isn't being exercised)
+        shard = np.asarray(idcs) // (4096 // 8)
+        assert (shard.max(axis=1) != shard.min(axis=1)).any()

@@ -27,7 +27,7 @@ import numpy as np
 
 from .config import TrainConfig
 from .ops import cosine_top1
-from .ops.nn_query import cosine_similarities, l2_normalize
+from .ops.nn_query import cosine_similarities, cosine_topk, l2_normalize
 from .utils import batch_iteration_indices
 
 Array = jax.Array
@@ -83,8 +83,12 @@ def aggregate_candidates(
     similarities. Keeps the candidates within `agg_angle_deg` of each row's
     top-1 rotation (so distant modes — e.g. near-symmetric views — never
     get averaged) and blends the survivors' quaternions and rendered bboxes
-    with similarity-proportional weights. Shared by Codebook._aggregate_topk
-    (full cosine matrix path) and PoseServer (device lax.top_k path).
+    with similarity-proportional weights. Shared by Codebook.auto_pose6d_batch
+    and PoseServer (both feed it the device cosine_topk / lax.top_k result —
+    the (B, N) similarity matrix never reaches the host). The viewsphere is
+    a 92k-bin SO(3) quantization (SURVEY §2: 2562 views x 36 in-plane);
+    averaging the local similarity neighborhood interpolates between bins,
+    recovering precision the argmax discards.
     Returns (Rs (B,3,3), rendered_bbs (B,4), top1 idcs (B,))."""
     from .geometry.transform import (
         matrices_from_quaternions,
@@ -312,26 +316,12 @@ class Codebook:
             Rs_est[i] = R_corr_y @ R_corr_x @ Rs_est[i]
         return Rs_est, ts_est
 
-    def _topk_partition(
-        self, cos: np.ndarray, k: int, upright: bool
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Per-row indices + similarities of the k best codebook entries,
-        sorted best-first. Returns (part (B,k'), sims (B,k')) with
-        k' = min(k, candidates)."""
-        if upright:
-            # restrict candidates to the in-plane-rotation-free stride
-            # (reference codebook.py:66 semantics, extended to k > 1)
-            sub = cos[:, :: self.num_cyclo]
-            k = min(k, sub.shape[1])
-            part = np.argpartition(-sub, k - 1, axis=1)[:, :k] * self.num_cyclo
-        else:
-            k = min(k, cos.shape[1])
-            part = np.argpartition(-cos, k - 1, axis=1)[:, :k]  # (B, k)
-        sims = np.take_along_axis(cos, part, axis=1)
-        order = np.argsort(-sims, axis=1)
-        part = np.take_along_axis(part, order, axis=1)
-        sims = np.take_along_axis(sims, order, axis=1)
-        return part, sims
+    def _clamp_k(self, k: int, stride: int) -> int:
+        """k never exceeds the candidate count (strided width under
+        `upright`) — static so the device top_k compiles with a valid k."""
+        n = self.embedding_normalized.shape[0]
+        width = n if stride <= 1 else -(-n // stride)
+        return min(k, width)
 
     def topk_candidates(
         self,
@@ -348,10 +338,15 @@ class Codebook:
         Returns (idcs (B,k'), sims (B,k'))."""
         self._require_embedding()
         z = self._encode(self._prep(xs))
-        cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
-        if tta > 1:
-            cos = cos.reshape(-1, tta, cos.shape[-1]).mean(axis=1)
-        return self._topk_partition(cos, max(k, 1), upright)
+        stride = self.num_cyclo if upright else 1
+        vals, idcs = cosine_topk(
+            z,
+            self.embedding_normalized,
+            k=self._clamp_k(max(k, 1), stride),
+            stride=stride,
+            tta=tta,
+        )
+        return np.asarray(idcs), np.asarray(vals)
 
     def pose6d_from_indices(
         self,
@@ -385,25 +380,6 @@ class Codebook:
         rendered_bbs = np.asarray(self.embed_obj_bbs[idcs], dtype=np.float64)
         return self._solve_6d(Rs, rendered_bbs, bbs, K_test, train_cfg, depth_pred)
 
-    def _aggregate_topk(
-        self, cos: np.ndarray, k: int, upright: bool, agg_angle_deg: float
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Top-k pose aggregation over a (B, N) cosine matrix.
-
-        For each row: take the k most similar codebook entries, keep the
-        candidates within `agg_angle_deg` of the top-1 rotation (so distant
-        modes — e.g. near-symmetric views — never get averaged), and blend
-        the survivors' quaternions and rendered bboxes with similarity-
-        proportional weights. The viewsphere is a 92k-bin SO(3) quantization
-        (SURVEY §2: 2562 views x 36 in-plane); averaging the local
-        similarity neighborhood interpolates between bins, recovering
-        precision the argmax discards. Returns (Rs (B,3,3),
-        rendered_bbs (B,4), top1 idcs (B,))."""
-        part, sims = self._topk_partition(cos, k, upright)
-        return aggregate_candidates(
-            self.viewsphere, self.embed_obj_bbs, part, sims, agg_angle_deg
-        )
-
     def auto_pose6d_batch(
         self,
         xs: Union[np.ndarray, Array],
@@ -431,7 +407,7 @@ class Codebook:
             averaged on device before the argmax — a clutter-shifted crop
             votes, it does not decide alone.
           * topk_aggregate > 1: blend the top-k codebook matches
-            (quaternion + rendered-bbox averaging, `_aggregate_topk`).
+            (quaternion + rendered-bbox averaging, `aggregate_candidates`).
         """
         self._require_embedding()
         if self.embed_obj_bbs is None:
@@ -446,11 +422,20 @@ class Codebook:
         z = self._encode(xb)
 
         if tta > 1 or topk_aggregate > 1:
-            cos = cosine_similarities(z, self.embedding_normalized)
-            if tta > 1:
-                cos = cos.reshape(len(bbs), tta, -1).mean(axis=1)
-            Rs, rendered_bbs, idcs = self._aggregate_topk(
-                np.asarray(cos), max(topk_aggregate, 1), upright, agg_angle_deg
+            stride = self.num_cyclo if upright else 1
+            sims, part = cosine_topk(
+                z,
+                self.embedding_normalized,
+                k=self._clamp_k(max(topk_aggregate, 1), stride),
+                stride=stride,
+                tta=tta,
+            )
+            Rs, rendered_bbs, idcs = aggregate_candidates(
+                self.viewsphere,
+                self.embed_obj_bbs,
+                np.asarray(part),
+                np.asarray(sims),
+                agg_angle_deg,
             )
         else:
             if upright:

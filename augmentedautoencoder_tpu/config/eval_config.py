@@ -32,7 +32,7 @@ class EvalConfig:
     # test-time aggregation (new capability; 1/1 = strict reference parity,
     # the single-argmax path): blend the top-k codebook matches / average
     # cosine votes over n jittered crops per detection (codebook.py
-    # `_aggregate_topk` / `tta_jittered_bboxes`)
+    # `aggregate_candidates` / `tta_jittered_bboxes`)
     topk_aggregate: int = 1
     tta_crops: int = 1
     # depth-based hypothesis re-scoring (pose/rescore.py): expand the top-k

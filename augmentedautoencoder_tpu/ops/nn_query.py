@@ -51,6 +51,26 @@ def cosine_similarities(z: Array, codebook: Array) -> Array:
     return jnp.dot(l2_normalize(z), codebook.T, preferred_element_type=jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "stride", "tta"))
+def cosine_topk(
+    z: Array, codebook: Array, k: int, stride: int = 1, tta: int = 1
+) -> Tuple[Array, Array]:
+    """Device-side ranked top-k with the estimation-path extras fused:
+    optional TTA row-mean over `tta` jittered crops per detection and the
+    `upright` in-plane-free stride restriction (reference codebook.py:66),
+    indices returned global. Only (B, k) scalars leave the device — the
+    aggregation / re-scoring paths used to fetch the full (B, N) cosine
+    matrix to the host (~8.8 MB/call at 92k rows through the tunnel).
+    """
+    cos = jnp.dot(l2_normalize(z), codebook.T, preferred_element_type=jnp.float32)
+    if tta > 1:
+        cos = cos.reshape(-1, tta, cos.shape[-1]).mean(axis=1)
+    if stride > 1:
+        cos = cos[:, ::stride]
+    vals, idcs = jax.lax.top_k(cos, k)
+    return vals, (idcs * stride).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------- Pallas path
 
 def _top1_kernel(n_valid: int, z_ref, cb_ref, val_ref, idx_ref, run_val, run_idx):

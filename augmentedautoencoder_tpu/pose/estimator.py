@@ -79,7 +79,7 @@ class AePoseEstimator(PoseEstInterface):
         # test-time aggregation (new capability, both default 1 = strict
         # reference parity / single argmax): blend the top-k codebook
         # matches, and/or average cosine votes over n jittered crops per
-        # detection (codebook._aggregate_topk / tta_jittered_bboxes)
+        # detection (codebook.aggregate_candidates / tta_jittered_bboxes)
         self._topk_aggregate = test_args.getint(
             "auto_pose", "topk_aggregate", fallback=1
         )

@@ -27,7 +27,7 @@ import numpy as np
 
 from .config import TrainConfig
 from .ops import cosine_top1
-from .ops.nn_query import cosine_similarities, cosine_topk, l2_normalize
+from .ops.nn_query import cosine_topk, l2_normalize
 from .utils import batch_iteration_indices
 
 Array = jax.Array
@@ -229,14 +229,16 @@ class Codebook:
             _, idcs = cosine_top1(z, self.embedding_normalized)
             idcs = np.asarray(idcs)
         elif top_n == 1:
-            cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
-            # restrict to cyclo-0 entries (codebook.py:66)
-            idcs = np.argmax(cos[:, :: self.num_cyclo], axis=1) * self.num_cyclo
+            # restrict to cyclo-0 entries (codebook.py:66); ranked on device
+            _, idcs = cosine_topk(
+                z, self.embedding_normalized, k=1, stride=self.num_cyclo
+            )
+            idcs = np.asarray(idcs)[:, 0]
         else:
-            cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
-            flat = cos.squeeze(0)
-            part = np.argpartition(-flat, top_n)[:top_n]
-            idcs = part[np.argsort(-flat[part])]
+            _, idcs = cosine_topk(
+                z, self.embedding_normalized, k=self._clamp_k(top_n, 1)
+            )
+            idcs = np.asarray(idcs).squeeze(0)
 
         if return_idcs:
             return idcs
@@ -439,8 +441,10 @@ class Codebook:
             )
         else:
             if upright:
-                cos = np.asarray(cosine_similarities(z, self.embedding_normalized))
-                idcs = np.argmax(cos[:, :: self.num_cyclo], axis=1) * self.num_cyclo
+                _, idcs = cosine_topk(
+                    z, self.embedding_normalized, k=1, stride=self.num_cyclo
+                )
+                idcs = np.asarray(idcs)[:, 0]
             else:
                 _, idcs = cosine_top1(z, self.embedding_normalized)
                 idcs = np.asarray(idcs)

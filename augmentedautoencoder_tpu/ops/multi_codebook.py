@@ -139,13 +139,20 @@ def grouped_codebook_top1(
     return vals[:, 0], idcs[:, 0]
 
 
-def _mc_topk_kernel(k, stride, obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref):
-    """Per-tile top-k selection (no cross-tile merge — each tile writes its
-    own (B, k) block; the caller runs one tiny lax.top_k over the
-    (B, num_tiles*k) result). `stride` masks the in-plane-rotation
+def _mc_topk_kernel(k, stride, obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref,
+                    run_val, run_idx):
+    """Grid over codebook tiles; a running sorted top-k lives in VMEM
+    scratch (the grouped top-1 kernel's proven output pattern — constant
+    (B, k) output block written once at the last grid step). Each tile's
+    top-k comes from k unrolled max-and-mask passes over the (B, TILE)
+    scores; merging with the running set is k more passes over the
+    concatenated (B, 2k) candidates. `stride` masks the in-plane-rotation
     candidates for `upright` serving (reference codebook.py:66): keeping
     only cols with col % stride == 0 is exactly the XLA path's
-    cos[:, ::stride] candidate set, with indices already global."""
+    cos[:, ::stride] candidate set, with indices already global. Ties
+    resolve to the lowest global index (earlier tiles sit first in the
+    merge concat; argmax picks the first maximum), matching lax.top_k
+    over the full masked matrix."""
     i = pl.program_id(0)
     tile_n = cb_ref.shape[0]
     n_valid = obj_ids_ref[1]
@@ -162,10 +169,6 @@ def _mc_topk_kernel(k, stride, obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref):
         valid = jnp.logical_and(valid, col % stride == 0)
     scores = jnp.where(valid, scores, -2.0)
 
-    # k-step max-and-mask selection (k static -> unrolled). Ties resolve to
-    # the lowest index, and the tile-major output layout preserves that
-    # order through the caller's final top_k — bit-identical candidate sets
-    # vs a full-matrix lax.top_k.
     vals = []
     idcs = []
     for _ in range(k):
@@ -174,8 +177,37 @@ def _mc_topk_kernel(k, stride, obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref):
         vals.append(v)
         idcs.append(a + i * tile_n)
         scores = jnp.where(col_local == a[:, None], -3.0, scores)
-    val_ref[:] = jnp.stack(vals, axis=1)
-    idx_ref[:] = jnp.stack(idcs, axis=1)
+    tile_val = jnp.stack(vals, axis=1)  # (B, k) sorted best-first
+    tile_idx = jnp.stack(idcs, axis=1)
+
+    @pl.when(i == 0)
+    def _():
+        run_val[:] = tile_val
+        run_idx[:] = tile_idx
+
+    @pl.when(i > 0)
+    def _():
+        cand_v = jnp.concatenate([run_val[:], tile_val], axis=1)  # (B, 2k)
+        cand_i = jnp.concatenate([run_idx[:], tile_idx], axis=1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, cand_v.shape, 1)
+        mvals = []
+        midcs = []
+        for _ in range(k):
+            v = jnp.max(cand_v, axis=1)
+            p = jnp.argmax(cand_v, axis=1).astype(jnp.int32)
+            sel = pos == p[:, None]
+            mvals.append(v)
+            # masked-sum gather (take_along_axis is a gather TPU Pallas
+            # may not lower; this is pure vector ops)
+            midcs.append(jnp.sum(jnp.where(sel, cand_i, 0), axis=1))
+            cand_v = jnp.where(sel, -4.0, cand_v)
+        run_val[:] = jnp.stack(mvals, axis=1)
+        run_idx[:] = jnp.stack(midcs, axis=1)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        val_ref[:] = run_val[:]
+        idx_ref[:] = run_idx[:]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "stride", "tile_n"))
@@ -196,11 +228,10 @@ def grouped_codebook_topk(
     (O, N_pad, D) slab plus a full (B, N) cosine materialization and an
     XLA lax.top_k per present class per frame. This kernel keeps the
     grouped top-1 shape: scalar-prefetched object id DMAs only that
-    object's tiles, scores on the MXU, and each grid step emits its tile's
-    top-k via k max-and-mask passes in VMEM — the (B, N) matrix never
-    exists in HBM and the whole query is ONE dispatch. A final lax.top_k
-    over the tiny (B, num_tiles*k) tile candidates (~360 cols at 92k rows,
-    k=8) produces the globally ranked result.
+    object's tiles, scores on the MXU, and a running sorted top-k lives in
+    VMEM scratch (k max-and-mask passes per tile + a k-pass merge of the
+    (B, 2k) candidates) — the (B, N) matrix never exists in HBM and the
+    whole query is ONE dispatch with a (B, k) output.
 
     Returns (vals (B, k) f32, idcs (B, k) int32), sorted best-first —
     same contract as lax.top_k over the full masked cosine row.
@@ -228,27 +259,32 @@ def grouped_codebook_topk(
             ),
         ],
         out_specs=(
-            pl.BlockSpec((b, k), lambda i, obj: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda i, obj: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i, obj: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i, obj: (0, 0), memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
     )
 
-    def kernel(obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref):
+    def kernel(obj_ids_ref, z_ref, cb_ref, val_ref, idx_ref, run_val, run_idx):
         _mc_topk_kernel(
-            k, stride, obj_ids_ref, z_ref, cb_ref[0], val_ref, idx_ref
+            k, stride, obj_ids_ref, z_ref, cb_ref[0], val_ref, idx_ref,
+            run_val, run_idx
         )
 
-    tile_vals, tile_idcs = pl.pallas_call(
+    vals, idcs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((b, num_tiles * k), jnp.float32),
-            jax.ShapeDtypeStruct((b, num_tiles * k), jnp.int32),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * d * n_pad + k * b * n_pad,
             bytes_accessed=(n_pad + b) * d * codebooks.dtype.itemsize
-            + b * num_tiles * k * 8,
+            + b * k * 8,
             transcendentals=0,
         ),
     )(
@@ -256,8 +292,6 @@ def grouped_codebook_topk(
         q,
         codebooks,
     )
-    vals, pos = jax.lax.top_k(tile_vals, k)
-    idcs = jnp.take_along_axis(tile_idcs, pos, axis=1)
     return vals, idcs
 
 

@@ -46,8 +46,20 @@ def main() -> None:
                         help="serve with top-k blending (lax.top_k query "
                              "path) to measure the aggregation knob's "
                              "frame-latency cost")
+    parser.add_argument("--icp", default="off",
+                        choices=["off", "legacy", "frame"],
+                        help="feed a rendered depth frame and refine every "
+                             "detection with the batched 3-stage ICP "
+                             "('legacy' = reference centered-cloud geometry, "
+                             "'frame' = ICP_FRAME_ACCURATE) — measures the "
+                             "recommended accuracy stack's serving cost; "
+                             "adds an 'icp' stage to the breakdown")
     parser.add_argument("--out", default="scripts/bench_serving_breakdown.json")
     args = parser.parse_args()
+    if args.icp != "off" and args.frames > 12:
+        # ICP adds ~100 ms/instance of host+device refinement per frame;
+        # keep the wall-clock of a breakdown run bounded
+        args.frames = 12
 
     from augmentedautoencoder_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -79,6 +91,8 @@ def main() -> None:
             "depth_data_type = np.float32\n"
             f"serving_precision = {args.precision}\n"
             f"topk_aggregate = {args.topk_aggregate}\n"
+            f"use_icp = {args.icp != 'off'}\n"
+            f"icp_frame_accurate = {args.icp == 'frame'}\n"
             f"class_2_encoder = {{{mapping}}}\n"
         )
 
@@ -88,29 +102,54 @@ def main() -> None:
     K = np.array([[1075.65, 0, W / 2], [0, 1073.90, H / 2], [0, 0, 1]])
     mesh = load_mesh(os.path.join(ws, "asym.ply"))
     ren = Renderer([], backend="auto", meshes=[mesh])
-    frame, _ = ren.render(
+    frame, depth = ren.render(
         0, W, H, K, np.eye(3), np.array([0.0, 0.0, 700.0]), 10, 10000
     )
 
     rng = np.random.RandomState(0)
     boxes = []
-    for c in classes:
-        for _ in range(args.dets):
-            x0 = rng.uniform(0.05, 0.7)
-            y0 = rng.uniform(0.05, 0.6)
-            w = rng.uniform(0.08, 0.2)
-            boxes.append(
-                BoundingBox(
-                    xmin=x0, ymin=y0,
-                    xmax=min(x0 + w, 1.0), ymax=min(y0 + w * 0.9, 1.0),
-                    classes={c: 1.0},
+    if args.icp != "off":
+        # detections must cover the rendered object so the ICP refines a
+        # real cloud (random background boxes would measure the degenerate
+        # empty-crop early-out, not production ICP cost): jitter real
+        # detections around the object's true pixel bbox
+        ys, xs = np.nonzero(depth > 0)
+        x0o, x1o = xs.min() / W, (xs.max() + 1) / W
+        y0o, y1o = ys.min() / H, (ys.max() + 1) / H
+        bw, bh = x1o - x0o, y1o - y0o
+        for c in classes:
+            for _ in range(args.dets):
+                jx = rng.uniform(-0.1, 0.1) * bw
+                jy = rng.uniform(-0.1, 0.1) * bh
+                js = rng.uniform(0.95, 1.1)
+                boxes.append(
+                    BoundingBox(
+                        xmin=max(x0o + jx, 0.0),
+                        ymin=max(y0o + jy, 0.0),
+                        xmax=min(x0o + jx + bw * js, 1.0),
+                        ymax=min(y0o + jy + bh * js, 1.0),
+                        classes={c: 1.0},
+                    )
                 )
-            )
+    else:
+        for c in classes:
+            for _ in range(args.dets):
+                x0 = rng.uniform(0.05, 0.7)
+                y0 = rng.uniform(0.05, 0.6)
+                w = rng.uniform(0.08, 0.2)
+                boxes.append(
+                    BoundingBox(
+                        xmin=x0, ymin=y0,
+                        xmax=min(x0 + w, 1.0), ymax=min(y0 + w * 0.9, 1.0),
+                        classes={c: 1.0},
+                    )
+                )
+    depth_img = depth.astype(np.float32) if args.icp != "off" else None
 
     server = PoseServer(cfg_path, max_dets_per_class=args.dets, profile=True)
     # warm up compiles + caches
     for _ in range(3):
-        server.process(boxes, frame, K)
+        server.process(boxes, frame, K, depth_img=depth_img)
     server.profile_times.clear()
     server.profile_frames = 0
 
@@ -118,7 +157,7 @@ def main() -> None:
     # the true end-to-end decomposition)
     t0 = time.perf_counter()
     for _ in range(args.frames):
-        server.process(boxes, frame, K)
+        server.process(boxes, frame, K, depth_img=depth_img)
     sync_ms = (time.perf_counter() - t0) / args.frames * 1e3
     stages = {k: round(v, 3) for k, v in server.profile_summary().items()}
 
@@ -127,7 +166,8 @@ def main() -> None:
         t0 = time.perf_counter()
         n = 0
         for _ in server.process_stream(
-            ({"bboxes": boxes, "color_img": frame, "camK": K}
+            ({"bboxes": boxes, "color_img": frame, "camK": K,
+              "depth_img": depth_img}
              for _ in range(args.frames)),
             depth=2,
         ):
@@ -143,6 +183,8 @@ def main() -> None:
         "dets_per_frame": n_dets,
         "precision": args.precision,
         "topk_aggregate": args.topk_aggregate,
+        "icp": args.icp,
+        "frames": args.frames,
         "stage_ms_per_frame": stages,
         "stage_sum_ms": round(sum(stages.values()), 3),
         "sync_ms_per_frame": round(sync_ms, 3),

@@ -16,6 +16,7 @@ one lax.while_loop on device.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -24,6 +25,7 @@ import numpy as np
 
 from ..geometry.misc import rgbd_to_point_cloud
 from ..geometry.transform import rotation_angle
+from ..ops.icp_nn import batched_nn_pallas, batched_nn_xla
 
 N_SUB = 3000  # reference subsample size (icp_utils.py:14)
 ANGLE_CHANGE_LIMIT = 20.0 * np.pi / 180.0  # icp_utils.py:18
@@ -172,7 +174,8 @@ def icp_jax(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "depth_only", "no_depth")
+    jax.jit,
+    static_argnames=("max_iterations", "depth_only", "no_depth", "nn_impl"),
 )
 def icp_jax_batch(
     A: jax.Array,
@@ -181,18 +184,85 @@ def icp_jax_batch(
     tolerance: float = 1e-6,
     depth_only: bool = False,
     no_depth: bool = False,
+    nn_impl: str = "xla",
 ) -> jax.Array:
-    """vmapped ICP over (n, N, 3) cloud stacks -> (n, 18) packed results.
+    """Batched ICP over (n, N, 3) cloud stacks -> (n, 18) packed results.
 
     One dispatch + one fetch refines every estimate of a frame/scene — the
     batched twin of icp_jax for multi-instance evaluation and serving. The
-    vmapped while_loop runs until all lanes converge (lane-wise `done`
-    freezes finished estimates' carries, so results equal the sequential
-    runs on identical subsamples).
+    whole batch steps through ONE while_loop with lane-wise `done` flags
+    that freeze finished estimates' carries, so results equal the
+    sequential runs on identical subsamples (the reference instead loops
+    per detection per iteration, icp_utils.py:139-161).
+
+    `nn_impl` selects the correspondence search for the loop body:
+      'xla'    — per-lane (N, N) distance matrix + argmin (exactly the
+                 single-lane `nearest_neighbor_jax` math, vmapped). Always
+                 correct, but materializes n*N*N f32 in HBM each iteration
+                 (~864 MB at n=24, N=3000) — the measured dominant term of
+                 depth-refined serving (PERF.md round 5 attribution).
+      'pallas' — fused TPU kernel (`ops/icp_nn.batched_nn_pallas`): the
+                 distance tile lives only in VMEM; HBM sees the (n, 4, N)
+                 inputs + (n, N) outputs per iteration.
+    Host callers resolve the default with `_nn_impl_default()` (pallas on
+    TPU, xla elsewhere; override with AAE_ICP_NN=xla|pallas).
     """
-    return jax.vmap(
-        lambda a, b: _icp_loop(a, b, max_iterations, tolerance, depth_only, no_depth)
-    )(A, B)
+    n = A.shape[0]
+    nn = batched_nn_pallas if nn_impl == "pallas" else batched_nn_xla
+    transform_pts = jax.vmap(lambda s, T: s @ T[:3, :3].T + T[:3, 3])
+    best_fit = jax.vmap(
+        lambda a, b: best_fit_transform_jax(
+            a, b, depth_only=depth_only, no_depth=no_depth
+        )
+    )
+
+    def cond(carry):
+        g, src, prev, err, done, iters = carry
+        return (g < max_iterations) & ~jnp.all(done)
+
+    def body(carry):
+        g, src, prev, err, done, iters = carry
+        active = ~done
+        dist, idx = nn(src, B)
+        Bsel = jnp.take_along_axis(B, idx[..., None], axis=1)
+        Ts = best_fit(src, Bsel)
+        src_new = transform_pts(src, Ts)
+        mean_err = jax.vmap(jnp.mean)(dist)
+        newly_done = jnp.abs(prev - mean_err) < tolerance
+        # freeze lanes that were already done at iteration start — identical
+        # semantics to vmap-of-while_loop (each lane's carry stops updating
+        # once its own cond goes false)
+        src = jnp.where(active[:, None, None], src_new, src)
+        err = jnp.where(active, mean_err, err)
+        prev = jnp.where(active, mean_err, prev)
+        iters = iters + active.astype(jnp.int32)
+        done = done | (active & newly_done)
+        return g + 1, src, prev, err, done, iters
+
+    init = (
+        jnp.int32(0),
+        A,
+        jnp.zeros((n,), jnp.float32),
+        jnp.full((n,), jnp.inf, jnp.float32),
+        jnp.zeros((n,), jnp.bool_),
+        jnp.zeros((n,), jnp.int32),
+    )
+    _, src_final, _, err, _, iters = jax.lax.while_loop(cond, body, init)
+    Ts = best_fit(A, src_final)
+    return jnp.concatenate(
+        [Ts.reshape(n, 16), err[:, None], iters.astype(jnp.float32)[:, None]],
+        axis=1,
+    )
+
+
+def _nn_impl_default() -> str:
+    """NN backend for the batched ICP loop: the fused Pallas kernel on TPU,
+    the XLA distance-matrix path elsewhere. AAE_ICP_NN=xla|pallas overrides
+    (the A/B benches use this)."""
+    env = os.environ.get("AAE_ICP_NN", "").lower()
+    if env in ("xla", "pallas"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def icp(
@@ -234,6 +304,7 @@ def icp_batch(
             jnp.asarray(As, jnp.float32), jnp.asarray(Bs, jnp.float32),
             max_iterations=max_iterations, tolerance=tolerance,
             depth_only=depth_only, no_depth=no_depth,
+            nn_impl=_nn_impl_default(),
         )
     )
     return [(p[:16].reshape(4, 4), float(p[16]), int(p[17])) for p in packed]

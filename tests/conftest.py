@@ -1,22 +1,36 @@
 """Test config: force a virtual 8-device CPU platform before jax loads.
 
 Multi-chip sharding tests run on a CPU mesh (the driver validates the real
-multi-chip path separately via __graft_entry__.dryrun_multichip)."""
+multi-chip path separately via __graft_entry__.dryrun_multichip).
+
+Exception: the on-chip kernel gate (`-m tpu`, tests/test_tpu_kernels.py)
+must see the real TPU — run it as
+    AAE_TPU_TESTS=1 python -m pytest tests/ -q -m tpu
+which skips the CPU forcing below; the tpu-marked tests themselves skip
+when no TPU-like backend is present."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/tpu default
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("AAE_TPU_TESTS", "") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon default
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # pytest auto-loaded plugins may have imported jax before this conftest ran;
 # force the config path too (raises if a non-cpu backend was already used)
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("AAE_TPU_TESTS", "") != "1":
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # the on-chip gate reuses the CLIs'/bench's persistent compile cache so
+    # repeat runs stay under a minute (first-ever compiles take minutes)
+    from augmentedautoencoder_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
 
 import pytest
 

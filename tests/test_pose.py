@@ -161,9 +161,13 @@ class TestICPRefinement:
         assert grown <= 1, f"icp_jax recompiled {grown} times for varying cloud sizes"
 
     def test_icp_batch_lanes_match_sequential(self):
-        """icp_jax_batch lane i must equal icp_jax on (A_i, B_i) — in
-        particular the vmapped while_loop must freeze converged lanes while
-        slower lanes keep iterating."""
+        """icp_jax_batch lane i must track icp_jax on (A_i, B_i): the
+        batched while_loop freezes converged lanes while slower lanes keep
+        iterating, so every lane follows the same iteration path as its
+        sequential run (iteration counts equal) and lands on the same
+        transform up to f32 roundoff (the batched program fuses reductions
+        differently than the per-lane one, so bit-equality is not a
+        guarantee XLA makes)."""
         from augmentedautoencoder_tpu.pose.icp import icp, icp_batch
 
         rng = np.random.RandomState(3)
@@ -179,8 +183,9 @@ class TestICPRefinement:
             seq.append(icp(A, B, tolerance=1e-7))
         got = icp_batch(np.stack(As), np.stack(Bs), tolerance=1e-7)
         for (T_b, err_b, it_b), (T_s, err_s, it_s) in zip(got, seq):
-            np.testing.assert_array_equal(T_b, T_s)
-            assert err_b == err_s and it_b == it_s
+            np.testing.assert_allclose(T_b, T_s, atol=1e-4)
+            np.testing.assert_allclose(err_b, err_s, atol=1e-3)
+            assert it_b == it_s
 
     def test_refine_batch_matches_refine_single(self):
         """n=1 refine_batch draws the same subsamples as refine when seeded

@@ -83,17 +83,17 @@ class Evaluator:
             for b in bbs
         ]
 
-    def _rescore_poses(self, crops_all, bbs, K_test, loader, im_id, dims, tta):
+    def _rescore_poses(self, crops_all, bbs, K_test, depth_img, dims, tta):
         """Depth re-scored 6D poses (pose/rescore.py): expand each
         detection's TOPK_RESCORE best codebook matches into hypotheses and
         keep the one whose rendered depth best matches the observed depth
-        (tau = VSD_TAU). Returns (Rs (B,3,3), ts (B,3), idcs (B,))."""
+        (tau = VSD_TAU). `depth_img` is loaded once by the caller (the ICP
+        branch shares it). Returns (Rs (B,3,3), ts (B,3), idcs (B,))."""
         from ..pose.rescore import select_best_hypothesis
 
         ec = self.eval_cfg
         if self.renderer is None:
             raise ValueError("TOPK_RESCORE needs the object renderer")
-        depth_img = loader.load_depth(im_id)
         if depth_img is None:
             raise ValueError("TOPK_RESCORE needs depth test images")
         idcs_k, _ = self.codebook.topk_candidates(
@@ -167,7 +167,7 @@ class Evaluator:
             t0 = time.time()
             if ec.topk_rescore > 1:
                 Rs, ts, _ = self._rescore_poses(
-                    crops_d, bbs_d, K_test, loader, im_id, (W, H),
+                    crops_d, bbs_d, K_test, loader.load_depth(im_id), (W, H),
                     max(ec.tta_crops, 1),
                 )
             else:
@@ -222,9 +222,15 @@ class Evaluator:
 
         t0 = time.time()
         tta = max(ec.tta_crops, 1)
+        # one depth read serves both the re-scoring and the ICP branch
+        depth = (
+            loader.load_depth(im_id)
+            if ec.topk_rescore > 1 or (ec.icp and self.icp_handle is not None)
+            else None
+        )
         if ec.topk_rescore > 1:
             Rs, ts, idcs = self._rescore_poses(
-                crops_all, bbs, K_test, loader, im_id, (W, H), tta
+                crops_all, bbs, K_test, depth, (W, H), tta
             )
         else:
             Rs, ts, idcs = self.codebook.auto_pose6d_batch(
@@ -246,7 +252,6 @@ class Evaluator:
 
         if ec.icp and self.icp_handle is not None:
             t1 = time.time()
-            depth = loader.load_depth(im_id)
             depth_crops, crop_offsets = [], []
             for k in range(len(gt_idcs)):
                 # square bbox-centered depth crop, un-resized (reference

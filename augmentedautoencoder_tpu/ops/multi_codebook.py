@@ -235,7 +235,19 @@ def grouped_codebook_topk(
 
     Returns (vals (B, k) f32, idcs (B, k) int32), sorted best-first —
     same contract as lax.top_k over the full masked cosine row.
+
+    Per-tile cost is O(k) unrolled max-and-mask VPU passes (plus an O(k)
+    merge of the (B, 2k) running set), so the kernel scales linearly in k
+    on top of the MXU matmul. Validated and benchmark-flat for k <= 32
+    (PERF.md round-4 k-sweep); larger k raises a ValueError rather than
+    silently paying unvalidated quadratic-ish VPU time — use the XLA
+    lax.top_k path for k > 32.
     """
+    if not 1 <= k <= 32:
+        raise ValueError(
+            f"grouped_codebook_topk supports 1 <= k <= 32 (got k={k}); "
+            "use the masked-matmul + lax.top_k path for larger k"
+        )
     b, d = z.shape
     o, n_pad, _ = codebooks.shape
     assert n_pad % tile_n == 0

@@ -61,8 +61,8 @@ _NOOP_STAGE = _noop_stage
 
 @dataclasses.dataclass
 class _FrameHandle:
-    vals: Dict[str, object]  # per present class: list of (max_dets,) device arrays
-    idcs: Dict[str, object]  # per present class: list of (max_dets,) device arrays
+    vals: Dict[str, object]  # per present class: list of (max_dets, k) device arrays (empty when k=1 — retrieve never reads scores then)
+    idcs: Dict[str, object]  # per present class: list of (max_dets[, k]) device arrays
     by_class: Dict[str, List[int]]
     box_xywhs: List[Optional[List[float]]]
     bboxes: Sequence[BoundingBox]
@@ -207,10 +207,21 @@ class PoseServer:
         self._query_k = max(
             self._est._topk_aggregate, self._est._topk_rescore, 1
         )
-        k_static = self._query_k
         self._nc_by_class = {
             c: int(self._est.all_codebooks[c].num_cyclo) for c in self.classes
         }
+        self._oi_by_class = {c: i for i, c in enumerate(self.classes)}
+        # per-class k, clamped to the class's candidate count (the strided
+        # width under `upright`) — mirrors Codebook._clamp_k. Without this a
+        # topk_aggregate larger than a small codebook's valid width would
+        # return masked sentinel rows (score -2) whose indices point at
+        # padded slab columns and index viewsphere out of range.
+        self._k_by_class = {}
+        for c in self.classes:
+            n_valid = int(self._est.all_codebooks[c].embedding_normalized.shape[0])
+            stride_c = self._nc_by_class[c] if self._est._upright else 1
+            width = n_valid if stride_c <= 1 else -(-n_valid // stride_c)
+            self._k_by_class[c] = min(self._query_k, width)
 
         def _masked_cos(z, cb2d, n_valid):
             zn = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
@@ -220,11 +231,11 @@ class PoseServer:
             col = jnp.arange(cos.shape[-1], dtype=jnp.int32)
             return jnp.where(col[None, :] < n_valid, cos, -2.0)
 
-        def _make_topk(stride):
+        def _make_topk(stride, k):
             @jax.jit
             def _q(z, cb2d, n_valid):
                 cos = _masked_cos(z, cb2d, n_valid)[:, ::stride]
-                vals, idcs = jax.lax.top_k(cos, k_static)  # sorted best-first
+                vals, idcs = jax.lax.top_k(cos, k)  # sorted best-first
                 return vals, (idcs * stride).astype(jnp.int32)
 
             return _q
@@ -239,15 +250,20 @@ class PoseServer:
 
             return _q
 
-        # one compiled query per distinct stride (1 unless upright)
+        # one compiled query per distinct (stride, clamped-k) pair (stride 1
+        # unless upright; k varies only when a class's codebook is smaller
+        # than the configured top-k)
         self._query_topk_xla = {}
         self._query_upright_xla = {}
-        for nc in set(self._nc_by_class.values()) | {1}:
-            stride = nc if self._est._upright else 1
+        for c in self.classes:
+            stride = self._nc_by_class[c] if self._est._upright else 1
             if self._query_k > 1:
-                self._query_topk_xla[stride] = _make_topk(stride)
+                key = (stride, self._k_by_class[c])
+                if key not in self._query_topk_xla:
+                    self._query_topk_xla[key] = _make_topk(*key)
             if self._est._upright and self._query_k == 1:
-                self._query_upright_xla[stride] = _make_upright_top1(stride)
+                if stride not in self._query_upright_xla:
+                    self._query_upright_xla[stride] = _make_upright_top1(stride)
 
         # lazy per-class 2D slab planes for the XLA query paths: indexing
         # self._slab[oi] at call time dispatches a device slice (a fresh
@@ -297,11 +313,14 @@ class PoseServer:
         shape as top-1, PERF.md round 4); off-TPU a lax.top_k variant
         returns the (B,k) ranked candidates. `upright` restricts
         candidates to the in-plane-free stride in both."""
-        stride = (
-            self._nc_by_class[self.classes[oi]] if self._est._upright else 1
-        )
+        cls = self.classes[oi]
+        stride = self._nc_by_class[cls] if self._est._upright else 1
         if self._query_k > 1:
-            if self._on_tpu:
+            k = self._k_by_class[cls]
+            # the fused kernel validates k <= 32 (O(k) per-tile passes);
+            # larger configured top-k falls back to the masked-matmul +
+            # lax.top_k path even on TPU
+            if self._on_tpu and k <= 32:
                 from .ops.multi_codebook import grouped_codebook_topk
 
                 return grouped_codebook_topk(
@@ -309,10 +328,10 @@ class PoseServer:
                     self._slab,
                     self._obj_dev[oi],
                     self._len_dev[oi],
-                    k=self._query_k,
+                    k=k,
                     stride=stride,
                 )
-            return self._query_topk_xla[stride](
+            return self._query_topk_xla[(stride, k)](
                 z, self._plane(oi), self._len_dev[oi]
             )
         if self._est._upright:
@@ -367,8 +386,9 @@ class PoseServer:
         idcs: Dict[str, object] = {}
         host_crops: Dict[str, np.ndarray] = {}
         prof = self._stage_timer()
+        keep_vals = self._query_k > 1  # k=1 retrieve never reads the scores
         for cls, det_idcs in by_class.items():
-            oi = self.classes.index(cls)
+            oi = self._oi_by_class[cls]
             chunk_vals, chunk_idcs, chunk_crops = [], [], []
             for start in range(0, len(det_idcs), self.max_dets):
                 chunk = det_idcs[start:start + self.max_dets]
@@ -391,12 +411,14 @@ class PoseServer:
                         self._params_by_class[cls], jnp.asarray(crops)
                     )
                     v, i = self._query(z, oi)
-                    for a in (v, i):  # overlap d2h copy with later frames
+                    # overlap d2h copies with later frames' device work
+                    for a in (v, i) if keep_vals else (i,):
                         try:
                             a.copy_to_host_async()
                         except Exception:
                             pass
-                chunk_vals.append(v)
+                if keep_vals:
+                    chunk_vals.append(v)
                 chunk_idcs.append(i)
                 if want_icp:
                     chunk_crops.append(crops)

@@ -27,10 +27,6 @@ print('TPU OK:', np.asarray(jnp.arange(8.)*2).sum())" 2>&1 | tail -1
 echo "[probe] $(date -u +%H:%M:%S)"
 probe | grep -q "TPU OK" || { echo "TPU wedged — abort"; exit 1; }
 
-# in-session coordination: the builder holds the study while landing the
-# depth-rescore arms' code (removed the moment it's merged + tested)
-while [ -f /tmp/tta_hold ]; do echo "[hold] waiting"; sleep 20; done
-
 run() {
   local name="$1"; shift
   echo "=== tta-study arm: ${name} ==="

@@ -695,14 +695,34 @@ class TestEndToEnd:
             # were A/B'd at 100% agreement, scripts/bench_serving_bf16.py).
             # Same view -> identical pose; different view -> the two max
             # cosines must be within bf16 resolution of each other.
-            # handle internals hold per-chunk (max_dets,) arrays
+            # handle internals hold per-chunk (max_dets,) arrays; k=1
+            # handles carry no scores (retrieve never needs them), so for
+            # the near-tie check recompute both cosines from the f32
+            # codebook directly
             i32 = int(np.asarray(h32.idcs["sphere"][0])[0])
             i16 = int(np.asarray(h16.idcs["sphere"][0])[0])
-            v32 = float(np.asarray(h32.vals["sphere"][0])[0])
-            v16 = float(np.asarray(h16.vals["sphere"][0])[0])
             if i16 == i32:
                 np.testing.assert_allclose(p16[0].trafo, p32[0].trafo, atol=1e-5)
             else:
+                import jax.numpy as jnp
+                from augmentedautoencoder_tpu.pose.estimator import (
+                    extract_square_patch_centered,
+                )
+
+                crop = extract_square_patch_centered(
+                    bgr, [x, y, w, h], server32._est.pad_factors["sphere"],
+                    resize=server32._est.patch_sizes["sphere"],
+                    interpolation="linear", black_borders=True,
+                )
+                z = np.asarray(
+                    server32._encode(
+                        server32._params_by_class["sphere"],
+                        jnp.asarray(crop[None]),
+                    )
+                )[0]
+                zn = z / np.linalg.norm(z)
+                emb = np.asarray(codebook.embedding_normalized)
+                v32, v16 = float(zn @ emb[i32]), float(zn @ emb[i16])
                 assert abs(v16 - v32) < 0.05, (i32, i16, v32, v16)
             R16 = p16[0].trafo[:3, :3]
             np.testing.assert_allclose(R16 @ R16.T, np.eye(3), atol=1e-5)
@@ -715,6 +735,73 @@ class TestEndToEnd:
             )
         )
         assert PoseServer(str(cfg16), max_dets_per_class=4).precision == "bfloat16"
+
+    def test_pose_server_recommended_recipe_matches_estimator(
+        self, workspace, monkeypatch, tmp_path
+    ):
+        """The FULL shipped accuracy recipe — frame-accurate ICP +
+        topk_aggregate 8 — served by PoseServer must match
+        AePoseEstimator.process pose-for-pose (same global np.random ICP
+        subsample stream), with upright both off and on; the bf16 serving
+        arm of the same recipe must stay a valid nearby pose."""
+        from augmentedautoencoder_tpu import factory
+        from augmentedautoencoder_tpu.geometry.view_sampler import calc_2d_bbox
+        from augmentedautoencoder_tpu.pose import AePoseEstimator, BoundingBox
+        from augmentedautoencoder_tpu.serving import PoseServer
+
+        base = (
+            "[auto_pose]\n"
+            "camPose = False\nupright = {up}\ntopk = 1\n"
+            "use_icp = True\nicp_frame_accurate = True\n"
+            "topk_aggregate = 8\n"
+            "color_format = bgr\ncolor_data_type = np.float32\n"
+            "depth_data_type = np.float32\n"
+            "class_2_encoder = {{'sphere': 'e2e_obj'}}\n"
+        )
+        codebook, dataset = factory.build_codebook_from_name(
+            "e2e_obj", return_dataset=True
+        )
+        cfg = dataset.cfg
+        W, H = cfg.render_dims
+        bgr, depth = dataset.renderer.render(
+            0, W, H, cfg.K, codebook.viewsphere[4],
+            np.array([0.0, 0.0, cfg.radius]),
+            cfg.clip_near, cfg.clip_far, random_light=False,
+        )
+        ys, xs = np.nonzero(depth > 0)
+        x, y, w, h = calc_2d_bbox(xs, ys, cfg.render_dims)
+        box = BoundingBox(xmin=x / W, ymin=y / H, xmax=(x + w) / W,
+                          ymax=(y + h) / H, classes={"sphere": 0.99})
+
+        for up in ("False", "True"):
+            cfg_path = tmp_path / f"m3_recipe_{up}.cfg"
+            cfg_path.write_text(base.format(up=up))
+            est = AePoseEstimator(str(cfg_path))
+            srv = PoseServer(str(cfg_path), max_dets_per_class=4)
+            # ICP subsampling draws from the global np.random stream; reset
+            # it identically so both paths see the same clouds
+            np.random.seed(123)
+            ref = est.process([box], color_img=bgr, camK=cfg.K,
+                              depth_img=depth)
+            np.random.seed(123)
+            out = srv.process([box], bgr, cfg.K, depth_img=depth)
+            assert len(out) == len(ref) == 1
+            np.testing.assert_allclose(
+                out[0].trafo, ref[0].trafo, atol=1e-4,
+                err_msg=f"recipe mismatch (upright={up})",
+            )
+
+        # bf16 arm of the same recipe: near-tied candidate flips allowed,
+        # but the served pose must stay rigid and near the f32 one
+        srv16 = PoseServer(
+            str(tmp_path / "m3_recipe_False.cfg"), max_dets_per_class=4,
+            precision="bfloat16",
+        )
+        np.random.seed(123)
+        out16 = srv16.process([box], bgr, cfg.K, depth_img=depth)
+        R16 = out16[0].trafo[:3, :3]
+        np.testing.assert_allclose(R16 @ R16.T, np.eye(3), atol=1e-5)
+        assert abs(out16[0].trafo[2, 3] - cfg.radius / 1000.0) < 0.05
 
     def test_aae_image_demo_cli(self, workspace, monkeypatch, tmp_path):
         """The reference's single-crop demo (test/aae_image.py): estimate a

@@ -3,6 +3,7 @@ grouped kernel is exercised on real TPU by bench/serving)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from augmentedautoencoder_tpu.ops.multi_codebook import (
     multi_codebook_top1,
@@ -175,18 +176,28 @@ class TestGroupedTopK:
         np.testing.assert_array_equal(np.asarray(idcs), eidcs)
 
     def test_k_exceeds_single_tile_survivors(self):
-        # k larger than any one tile's valid candidate count: the final
-        # merge must pull from multiple tiles (and sentinels never rank
-        # while real candidates remain).
-        cbs = make_codebooks([40 + 64, 64])  # object 0: 104 valid over 2 tiles
-        slab, lengths = stack_codebooks(cbs, tile_n=64)
+        # k at the validated cap (32), larger than any one tile's valid
+        # candidate count (tiles of 16): the final merge must pull from
+        # multiple tiles (and sentinels never rank while real candidates
+        # remain).
+        cbs = make_codebooks([104, 64])  # object 0: 104 valid over 7 tiles
+        slab, lengths = stack_codebooks(cbs, tile_n=16)
         z = np.random.RandomState(17).randn(3, 32).astype(np.float32)
         vals, idcs = self._run_kernel(
-            z, jnp.asarray(slab), 0, lengths[0], k=64, tile_n=64
+            z, jnp.asarray(slab), 0, lengths[0], k=32, tile_n=16
         )
-        evals, eidcs = self._expect(z, cbs[0], k=64)
+        evals, eidcs = self._expect(z, cbs[0], k=32)
         np.testing.assert_array_equal(np.asarray(idcs), eidcs)
         assert (np.asarray(vals) > -2.0).all()  # all real candidates
+
+    def test_k_above_cap_raises(self):
+        # the kernel's per-tile cost is O(k) VPU passes; k > 32 is
+        # unvalidated and must fail loudly, not run slowly
+        cbs = make_codebooks([300])
+        slab, lengths = stack_codebooks(cbs, tile_n=256)
+        z = np.random.RandomState(19).randn(2, 32).astype(np.float32)
+        with pytest.raises(ValueError, match="1 <= k <= 32"):
+            self._run_kernel(z, jnp.asarray(slab), 0, lengths[0], k=33)
 
 
 class TestBf16Slab:

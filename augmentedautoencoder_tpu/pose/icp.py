@@ -348,6 +348,30 @@ class SynRenderer:
         )
         return bgr, depth
 
+    def render_depth_window(
+        self, K_test, R_est, t_est, window_shape, offset, obj_id=0
+    ):
+        """Synthetic depth of ONLY a crop window of the full frame.
+
+        Rendering at the crop's size through a principal-point-shifted K
+        makes pixel (u, v) here exactly pixel (u+left, v+top) of the
+        full-frame render (a pure viewport crop — rasterization samples
+        pixel centers through K, so shifting the principal point by the
+        window origin is identity on the sampled geometry). The
+        frame-accurate ICP prep renders ~6x fewer pixels this way than
+        render_trafo + slice (PERF.md round-5 ICP attribution; this host
+        is single-core, so the render term cannot be threaded away)."""
+        h, w = int(window_shape[0]), int(window_shape[1])
+        left, top = (int(v) for v in offset)
+        Kc = np.asarray(K_test, np.float64).copy()
+        Kc[0, 2] -= left
+        Kc[1, 2] -= top
+        _, depth = self.renderer.render(
+            obj_id, w, h, Kc, R_est, np.asarray(t_est),
+            self.clip_near, self.clip_far, random_light=False,
+        )
+        return depth
+
 
 def icp_refinement(
     depth_crop: np.ndarray,
@@ -376,9 +400,26 @@ def icp_refinement(
     return _apply_refinement(T, R_est, t_est, no_depth=no_depth)
 
 
+def _real_cloud(depth_crop, K_test, crop_offset=None):
+    """Re-project the REAL depth crop once — it is pose-independent, so
+    refine_batch shares one cloud across the depth-only and rotation-only
+    stages instead of re-projecting per stage (PERF.md round-5 ICP
+    attribution). K handling matches _refinement_clouds' two geometries."""
+    K_crop = np.asarray(K_test, np.float64).copy()
+    if crop_offset is not None:
+        left, top = (int(v) for v in crop_offset)
+        K_crop[0, 2] -= left
+        K_crop[1, 2] -= top
+    else:
+        K_crop[0, 2] = depth_crop.shape[0] / 2
+        K_crop[1, 2] = depth_crop.shape[1] / 2
+    return rgbd_to_point_cloud(K_crop, depth_crop)[0]
+
+
 def _refinement_clouds(
     depth_crop, icp_renderer, R_est, t_est, K_test, test_render_dims,
     max_mean_dist_factor=2.0, obj_id=0, rng=None, crop_offset=None,
+    real_pts=None,
 ):
     """Host prep of one refinement: render, gate, subsample.
 
@@ -393,18 +434,20 @@ def _refinement_clouds(
     DIFFERENT viewing rays, which biases the fitted x/y by up to ~20 mm at
     +-115 mm lateral offset (PERF.md round-4 ICP-geometry study). With
     crop_offset=(left, top) of the depth crop in the full frame, the
-    frame-accurate variant renders AT the estimated lateral position and
-    slices the same window, so both clouds live in the true camera frame.
+    frame-accurate variant renders only the crop's window at the estimated
+    lateral position (render_depth_window — a pure viewport crop of the
+    full-frame render), so both clouds live in the true camera frame.
+
+    real_pts: the pre-projected real cloud (_real_cloud) — pass it when
+    refining multiple stages of the same detection; None re-projects here.
     """
     rng = rng or np.random
     if crop_offset is not None:
         left, top = (int(v) for v in crop_offset)
-        _, syn_depth = icp_renderer.render_trafo(
-            K_test, R_est, t_est, test_render_dims, obj_id=obj_id
+        syn_crop = icp_renderer.render_depth_window(
+            K_test, R_est, t_est, depth_crop.shape, (left, top),
+            obj_id=obj_id,
         )
-        syn_crop = syn_depth[
-            top:top + depth_crop.shape[0], left:left + depth_crop.shape[1]
-        ]
         K_crop = np.asarray(K_test, np.float64).copy()
         K_crop[0, 2] -= left
         K_crop[1, 2] -= top
@@ -415,7 +458,8 @@ def _refinement_clouds(
         max_mean_dist = np.max(
             np.linalg.norm(synthetic_pts - centroid_syn, axis=1)
         )
-        real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
+        if real_pts is None:
+            real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
     else:
         synthetic_pts = icp_renderer.generate_synthetic_depth(
             K_test, R_est, t_est, test_render_dims, obj_id=obj_id
@@ -427,10 +471,11 @@ def _refinement_clouds(
             np.linalg.norm(synthetic_pts - centroid_syn, axis=1)
         )
 
-        K_crop = np.asarray(K_test, np.float64).copy()
-        K_crop[0, 2] = depth_crop.shape[0] / 2
-        K_crop[1, 2] = depth_crop.shape[1] / 2
-        real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
+        if real_pts is None:
+            K_crop = np.asarray(K_test, np.float64).copy()
+            K_crop[0, 2] = depth_crop.shape[0] / 2
+            K_crop[1, 2] = depth_crop.shape[1] / 2
+            real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
 
     dist_to_syn = np.linalg.norm(real_pts - centroid_syn, axis=1)
     real_pts = real_pts[dist_to_syn < max_mean_dist_factor * max_mean_dist]
@@ -551,6 +596,19 @@ class ICP:
         Rs = [np.asarray(R) for R in Rs]
         ts = [np.asarray(t) for t in ts]
 
+        # the real clouds are pose-independent: project each detection's
+        # depth crop ONCE and share it between the depth-only and
+        # rotation-only stages (the gating + subsample stay per stage)
+        real_clouds = [
+            _real_cloud(
+                depth_crops[i], K_test,
+                crop_offset=(
+                    crop_offsets[i] if crop_offsets is not None else None
+                ),
+            )
+            for i in range(n)
+        ]
+
         def batched_stage(Rs_in, ts_in, depth_only, no_depth):
             preps = [
                 _refinement_clouds(
@@ -559,6 +617,7 @@ class ICP:
                     crop_offset=(
                         crop_offsets[i] if crop_offsets is not None else None
                     ),
+                    real_pts=real_clouds[i],
                 )
                 for i in range(n)
             ]

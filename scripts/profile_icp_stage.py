@@ -24,6 +24,9 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    from augmentedautoencoder_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()  # icp_batch first-compiles in minutes on the tunnel
     p = argparse.ArgumentParser()
     p.add_argument("--workspace", default="/tmp/aae_vsd_ws2")
     p.add_argument("--dets", type=int, default=24)

@@ -30,6 +30,31 @@ from ..ops.icp_nn import batched_nn_pallas, batched_nn_xla
 N_SUB = 3000  # reference subsample size (icp_utils.py:14)
 ANGLE_CHANGE_LIMIT = 20.0 * np.pi / 180.0  # icp_utils.py:18
 
+# Fixed-point detection for the f32 device loop (PERF.md round-5 "ICP
+# stage attribution" + "ICP f32 conditioning"). The reference's
+# |prev_err - err| < 1e-6 test (icp_utils.py:161) fires there because its
+# f64 + exact-KD-tree pipeline makes the refit exactly idempotent at the
+# correspondence fixed point; in f32 on TPU the mean error keeps jiggling
+# ~1e-4 mm forever, so that test almost never fires and every lane used to
+# spin to the 100-iteration cap. With the bf16-transform noise floor
+# removed (_transform_pts) the loop genuinely converges, and we detect the
+# fixed point two robust ways (either stops a lane):
+#   - the correspondence index vector stopped changing (exact fixed point;
+#     measured on-chip: depth-only lanes reach it in ~10-15 iterations,
+#     most rotation-only lanes in ~25-110),
+#   - TWO consecutive refits moved the pose by less than STEP_TOL_ROT and
+#     STEP_TOL_TRANS (some rotation-only lanes limit-cycle with a handful
+#     of boundary correspondences flipping forever, so their index vector
+#     never freezes — but the pose orbit is ~0.003 mm wide; requiring two
+#     consecutive tiny steps rejects transient mid-flight plateaus).
+# On-chip floors: depth-only steps ~2e-5 mm, converged rotation-only steps
+# <= ~5e-3 mm; the thresholds sit 300x below the quality metrics' medians
+# (te ~3 mm, re ~6.6 deg), so stopping inside a <=0.01 mm / <=0.011 deg
+# orbit is harmless. Genuinely non-converging lanes (poor-overlap
+# detections) still run to the cap, same as the reference.
+STEP_TOL_ROT = 2e-4  # rad/iteration (~0.011 deg)
+STEP_TOL_TRANS = 1e-2  # mm/iteration
+
 
 def _inv3(M: jax.Array) -> jax.Array:
     """Closed-form 3x3 inverse (adjugate / det) — exact f32 arithmetic."""
@@ -71,7 +96,12 @@ def _kabsch_rotation(H: jax.Array) -> jax.Array:
     # unscaled Newton steps may not have converged to an orthogonal matrix —
     # without the residual check a non-rigid W could be composed into the
     # pose. With dense 3-D clouds neither case occurs on sane input.
-    ortho_residual = jnp.linalg.norm(W.T @ W - jnp.eye(3))
+    # HIGHEST: at the default TPU precision this product carries ~2e-3 of
+    # bf16 noise, which exceeds the 1e-3 threshold and silently rejected
+    # VALID rotations on the real chip (round-5 on-chip gate finding).
+    ortho_residual = jnp.linalg.norm(
+        jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST) - jnp.eye(3)
+    )
     proper_rotation = (jnp.linalg.det(W) > 0.0) & (ortho_residual < 1e-3)
     return jnp.where(proper_rotation, W.T, jnp.eye(3))
 
@@ -80,20 +110,41 @@ def _kabsch_rotation(H: jax.Array) -> jax.Array:
 def best_fit_transform_jax(
     A: jax.Array, B: jax.Array, depth_only: bool = False, no_depth: bool = False
 ) -> jax.Array:
-    """Least-squares rigid transform mapping A onto B; returns 4x4 T."""
-    centroid_A = A.mean(axis=0)
-    centroid_B = B.mean(axis=0)
+    """Least-squares rigid transform mapping A onto B; returns 4x4 T.
+
+    Conditioning (PERF.md round-5 "ICP f32 conditioning"): the clouds live
+    in camera frame at z ~ 700 mm, so a direct f32 `mean` reduction
+    accumulates into ~2e6 and its rounding noise is ~1 mm — measured
+    on-chip as a +-1.4 mm PER-ITERATION pose oscillation with completely
+    frozen correspondences, i.e. mm-scale noise on every fitted
+    translation. Every mean here is therefore computed over small-magnitude
+    values only: the centroid difference as mean(B - A) (point differences,
+    ~mm scale), the centroid itself anchored on the first point (offsets ~
+    object extent), and the translation in the (I - R) @ centroid form so
+    centroid error enters only scaled by the rotation increment.
+    """
+    # centroid difference from per-point differences (exact same value in
+    # exact arithmetic; ~1000x better f32 conditioning at camera distance)
+    d = (B - A).mean(axis=0)
 
     if depth_only:
         R = jnp.eye(3)
-        d = centroid_B - centroid_A
         t = jnp.array([0.0, 0.0, 1.0]) * d[2]
     else:
+        anchor = A[0]
+        centroid_A = anchor + (A - anchor).mean(axis=0)
+        centroid_B = centroid_A + d
         AA = A - centroid_A
         BB = B - centroid_B
         H = jnp.matmul(AA.T, BB, precision=jax.lax.Precision.HIGHEST)
         R = _kabsch_rotation(H)
-        t = centroid_B - R @ centroid_A
+        # t = centroid_B - R @ centroid_A, with the ~700 mm centroid entering
+        # only through (I - R): its residual f32 error is scaled by the
+        # rotation increment instead of standing alone at full magnitude.
+        # HIGHEST: bf16 passes on a ~700 mm operand cost ~0.1 mm here.
+        t = d + jnp.matmul(
+            jnp.eye(3) - R, centroid_A, precision=jax.lax.Precision.HIGHEST
+        )
         if no_depth:
             t = t * jnp.array([1.0, 1.0, 0.0])
 
@@ -124,6 +175,42 @@ def nearest_neighbor_jax(src: jax.Array, dst: jax.Array) -> Tuple[jax.Array, jax
     return dist, idx
 
 
+def _transform_pts(s: jax.Array, T: jax.Array) -> jax.Array:
+    """Apply a 4x4 rigid transform to an (N, 3) cloud at FULL f32 precision.
+
+    The default TPU matmul precision multiplies in bf16 passes; at camera
+    frame magnitudes (z ~ 700 mm) bf16's ~2.7 mm resolution re-quantizes
+    the cloud every ICP iteration — measured on-chip as a permanent
+    +-1.4 mm period-2 pose oscillation with completely frozen
+    correspondences (PERF.md round-5 "ICP f32 conditioning"). The 3x3
+    transform is microscopic next to the NN matmul, so HIGHEST here is
+    free and removes that noise floor entirely.
+    """
+    return (
+        jnp.matmul(s, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
+        + T[:3, 3]
+    )
+
+
+def _converged(prev_err, mean_err, tolerance, prev_idx, idx, Ts, prev_tiny):
+    """Per-lane ICP stopping rule (see STEP_TOL_* note above).
+
+    prev_err/mean_err: (n,); prev_idx/idx: (n, N) int32; Ts: (n, 4, 4);
+    prev_tiny: (n,) bool — whether the PREVIOUS refit was already tiny.
+    A lane is done when the reference's error-delta test fires, OR its
+    correspondence indices reached an exact fixed point, OR two
+    consecutive refits moved the pose by less than the step tolerances.
+    Returns (done, tiny) with tiny = this refit was tiny (next prev_tiny).
+    """
+    err_static = jnp.abs(prev_err - mean_err) < tolerance
+    idx_fixed = jnp.all(idx == prev_idx, axis=-1)
+    tr = jnp.trace(Ts[:, :3, :3], axis1=-2, axis2=-1)
+    ang = jnp.arccos(jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+    tn = jnp.linalg.norm(Ts[:, :3, 3], axis=-1)
+    tiny = (ang < STEP_TOL_ROT) & (tn < STEP_TOL_TRANS)
+    return err_static | idx_fixed | (tiny & prev_tiny), tiny
+
+
 def _icp_loop(
     A: jax.Array,
     B: jax.Array,
@@ -135,20 +222,27 @@ def _icp_loop(
     """On-device ICP loop; returns an 18-vector: [T.ravel(16), err, iters]."""
 
     def cond(carry):
-        i, src, prev_err, err, done = carry
+        i, src, prev_err, err, done, prev_idx, prev_tiny = carry
         return (~done) & (i < max_iterations)
 
     def body(carry):
-        i, src, prev_err, err, _ = carry
+        i, src, prev_err, err, _, prev_idx, prev_tiny = carry
         dist, idx = nearest_neighbor_jax(src, B)
         T = best_fit_transform_jax(src, B[idx], depth_only=depth_only, no_depth=no_depth)
-        src_new = src @ T[:3, :3].T + T[:3, 3]
+        src_new = _transform_pts(src, T)
         mean_err = dist.mean()
-        done = jnp.abs(prev_err - mean_err) < tolerance
-        return i + 1, src_new, mean_err, mean_err, done
+        done, tiny = _converged(
+            prev_err[None], mean_err[None], tolerance, prev_idx[None],
+            idx[None], T[None], prev_tiny[None],
+        )
+        return i + 1, src_new, mean_err, mean_err, done[0], idx, tiny[0]
 
-    init = (jnp.int32(0), A, jnp.float32(0.0), jnp.float32(jnp.inf), jnp.bool_(False))
-    iters, src_final, _, err, _ = jax.lax.while_loop(cond, body, init)
+    init = (
+        jnp.int32(0), A, jnp.float32(0.0), jnp.float32(jnp.inf),
+        jnp.bool_(False), jnp.full((A.shape[0],), -1, jnp.int32),
+        jnp.bool_(False),
+    )
+    iters, src_final, _, err, _, _, _ = jax.lax.while_loop(cond, body, init)
 
     T = best_fit_transform_jax(A, src_final, depth_only=depth_only, no_depth=no_depth)
     # pack into ONE result vector: each fetched array costs a full
@@ -209,7 +303,7 @@ def icp_jax_batch(
     """
     n = A.shape[0]
     nn = batched_nn_pallas if nn_impl == "pallas" else batched_nn_xla
-    transform_pts = jax.vmap(lambda s, T: s @ T[:3, :3].T + T[:3, 3])
+    transform_pts = jax.vmap(_transform_pts)
     best_fit = jax.vmap(
         lambda a, b: best_fit_transform_jax(
             a, b, depth_only=depth_only, no_depth=no_depth
@@ -217,27 +311,31 @@ def icp_jax_batch(
     )
 
     def cond(carry):
-        g, src, prev, err, done, iters = carry
+        g, src, prev, err, done, iters, prev_idx, prev_tiny = carry
         return (g < max_iterations) & ~jnp.all(done)
 
     def body(carry):
-        g, src, prev, err, done, iters = carry
+        g, src, prev, err, done, iters, prev_idx, prev_tiny = carry
         active = ~done
         dist, idx = nn(src, B)
         Bsel = jnp.take_along_axis(B, idx[..., None], axis=1)
         Ts = best_fit(src, Bsel)
         src_new = transform_pts(src, Ts)
         mean_err = jax.vmap(jnp.mean)(dist)
-        newly_done = jnp.abs(prev - mean_err) < tolerance
+        newly_done, tiny = _converged(
+            prev, mean_err, tolerance, prev_idx, idx, Ts, prev_tiny
+        )
         # freeze lanes that were already done at iteration start — identical
         # semantics to vmap-of-while_loop (each lane's carry stops updating
         # once its own cond goes false)
         src = jnp.where(active[:, None, None], src_new, src)
         err = jnp.where(active, mean_err, err)
         prev = jnp.where(active, mean_err, prev)
+        prev_idx = jnp.where(active[:, None], idx, prev_idx)
+        prev_tiny = jnp.where(active, tiny, prev_tiny)
         iters = iters + active.astype(jnp.int32)
         done = done | (active & newly_done)
-        return g + 1, src, prev, err, done, iters
+        return g + 1, src, prev, err, done, iters, prev_idx, prev_tiny
 
     init = (
         jnp.int32(0),
@@ -246,8 +344,10 @@ def icp_jax_batch(
         jnp.full((n,), jnp.inf, jnp.float32),
         jnp.zeros((n,), jnp.bool_),
         jnp.zeros((n,), jnp.int32),
+        jnp.full((n, A.shape[1]), -1, jnp.int32),
+        jnp.zeros((n,), jnp.bool_),
     )
-    _, src_final, _, err, _, iters = jax.lax.while_loop(cond, body, init)
+    _, src_final, _, err, _, iters, _, _ = jax.lax.while_loop(cond, body, init)
     Ts = best_fit(A, src_final)
     return jnp.concatenate(
         [Ts.reshape(n, 16), err[:, None], iters.astype(jnp.float32)[:, None]],

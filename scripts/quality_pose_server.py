@@ -48,6 +48,17 @@ def main() -> None:
     parser.add_argument("--icp", action="store_true",
                         help="serve with depth: batched 3-stage ICP "
                              "refinement through PoseServer.process")
+    parser.add_argument("--icp_frame", action="store_true",
+                        help="ICP_FRAME_ACCURATE serving: crop-window "
+                             "synthetic renders in the true camera frame "
+                             "(the recommended accuracy stack)")
+    parser.add_argument("--topk_aggregate", type=int, default=1,
+                        help="serve with top-k candidate blending "
+                             "(recommended stack: 8)")
+    parser.add_argument("--serving_precision", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="encode+query precision of the SERVER "
+                             "(independent of the training precision)")
     parser.add_argument("--out", default="scripts/quality_pose_server.json")
     args = parser.parse_args()
 
@@ -120,7 +131,10 @@ def main() -> None:
             "camPose = False\nupright = False\ntopk = 1\n"
             "color_format = bgr\ncolor_data_type = np.float32\n"
             "depth_data_type = np.float32\n"
+            f"serving_precision = {args.serving_precision}\n"
+            f"topk_aggregate = {args.topk_aggregate}\n"
             f"use_icp = {args.icp}\n"
+            f"icp_frame_accurate = {args.icp_frame}\n"
             "class_2_encoder = {'asym': 'asym_obj', 'stretch': 'obj2'}\n"
         )
     server = PoseServer(cfg_path, max_dets_per_class=4)
@@ -175,7 +189,10 @@ def main() -> None:
         "pipeline": "2x(ae_train+ae_embed) -> PoseServer.process (present-class serving)",
         "frames": args.frames,
         "precision_trained": args.precision,
+        "serving_precision": args.serving_precision,
         "icp": bool(args.icp),
+        "icp_frame_accurate": bool(args.icp_frame),
+        "topk_aggregate": args.topk_aggregate,
         "per_class": {
             # a never-scored class yields n=0 with null stats (np.median([])
             # is NaN, which json.dump would emit as invalid JSON)

@@ -116,6 +116,31 @@ class TestICP:
         np.testing.assert_allclose(T[:3, 3], t, atol=0.5)
         assert err < 0.5
 
+    def test_icp_terminates_before_cap_at_camera_distance(self):
+        """Fixed-point stopping (round-5): clouds with an exact rigid
+        alignment, placed at camera-frame magnitudes (z ~ 700 mm), must
+        stop well below the 100-iteration cap. Before the round-5 fix the
+        f32 error-delta test never fired and every lane paid the cap (and
+        on TPU the bf16 default-precision point transform re-quantized the
+        cloud by ~1.4 mm per iteration, PERF.md 'ICP f32 conditioning')."""
+        from augmentedautoencoder_tpu.pose.icp import icp_batch
+
+        offset = np.array([40.0, -30.0, 700.0], np.float32)
+        As, Bs, Rs, ts_ = [], [], [], []
+        for j in range(3):
+            A = random_cloud(800, seed=j) + offset
+            R = transform.rotation_matrix(0.02 + 0.03 * j, [1, 0, 1])[:3, :3]
+            t = np.array([1.5, -1.0, 2.0]) * (j + 1)
+            As.append(A.astype(np.float32))
+            Bs.append((A @ R.T + t).astype(np.float32))
+            Rs.append(R)
+            ts_.append(t)
+        fits = icp_batch(np.stack(As), np.stack(Bs), tolerance=1e-9)
+        for (T, err, iters), R, t in zip(fits, Rs, ts_):
+            assert iters < 50, f"lane spun to {iters} iterations"
+            np.testing.assert_allclose(T[:3, :3], R, atol=1e-3)
+            np.testing.assert_allclose(T[:3, 3], t, atol=0.1)
+
 
 class TestICPRefinement:
     def test_depth_refinement_on_fake_sphere(self):

@@ -152,3 +152,39 @@ class TestIcpNNOnChip:
             icp_jax_batch(jnp.asarray(A), jnp.asarray(B), nn_impl="pallas")
         )
         np.testing.assert_allclose(got[:, :16], ref[:, :16], atol=1e-2)
+
+    def test_icp_batch_converges_below_cap_at_camera_distance(self):
+        """Round-5 regression: clouds at z ~ 700 mm with an exact rigid
+        alignment must converge far below the 100-iteration cap AND
+        recover the transform to sub-0.1 mm on the REAL chip. Catches two
+        TPU-only failure modes interpret/CPU tests cannot see: the default
+        bf16 matmul precision in the per-iteration point transform
+        (re-quantizes the cloud by ~1.4 mm at 700 mm -> permanent period-2
+        pose oscillation) and the f32 error-delta convergence test that
+        never fires (every lane spins to the cap). PERF.md round-5 'ICP
+        f32 conditioning'."""
+        from augmentedautoencoder_tpu.pose.icp import icp_jax_batch
+
+        rng = np.random.RandomState(5)
+        offset = np.array([40.0, -30.0, 700.0], np.float32)
+        A = rng.randn(4, 3000, 3).astype(np.float32) * 40.0 + offset
+        ang = 0.04
+        R = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ],
+            np.float32,
+        )
+        t = np.array([2.0, -1.5, 3.0], np.float32)
+        B = A @ R.T + t
+        packed = np.asarray(
+            icp_jax_batch(jnp.asarray(A), jnp.asarray(B), nn_impl="pallas")
+        )
+        for lane in packed:
+            T = lane[:16].reshape(4, 4)
+            iters = int(lane[17])
+            assert iters < 50, f"lane spun to {iters} iterations on chip"
+            np.testing.assert_allclose(T[:3, :3], R, atol=1e-3)
+            np.testing.assert_allclose(T[:3, 3], t, atol=0.1)

@@ -559,13 +559,25 @@ class PoseServer:
     ) -> Iterator[List[PoseEstimate]]:
         """Pipelined stream: keeps `depth` frames in flight so device compute
         overlaps host crop-extraction and readback. Each frame is a dict of
-        submit() kwargs."""
+        submit() kwargs.
+
+        retrieve() runs on a single worker thread, so frame n's readback /
+        pose math / ICP refinement overlaps frame n+1's crop-extract and
+        dispatch on the main thread. One worker keeps retrieves strictly
+        ordered (results yield in submit order) and avoids contending for
+        the renderer; the overlapped sections (rasterizer, device waits)
+        release the GIL, so this helps even on a small host. The depth-off
+        path keeps the same structure — its retrieve is readback-dominated,
+        which equally benefits from overlapping the next frame's dispatch.
+        """
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         q: deque = deque()
-        for frame in frames:
-            q.append(self.submit(**frame))
-            if len(q) > depth:
-                yield self.retrieve(q.popleft())
-        while q:
-            yield self.retrieve(q.popleft())
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            for frame in frames:
+                q.append(ex.submit(self.retrieve, self.submit(**frame)))
+                if len(q) > depth:
+                    yield q.popleft().result()
+            while q:
+                yield q.popleft().result()

@@ -104,7 +104,9 @@ def main() -> None:
                     model_path=model2, bg_glob=bg_glob, train_imgs=2000,
                     views=2562, cyclo=36, iters=args.iters,
                     precision=args.precision, square_occlusion=False,
-                    neighbor_clutter=0.5,
+                    realistic_occlusion=0.0,
+                    neighbor_clutter=0.5, neighbor_clutter_count=1,
+                    aux_mask=False, variational=0.0, batch_norm=False,
                 )
             )
         t0 = time.time()

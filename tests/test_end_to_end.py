@@ -368,6 +368,28 @@ class TestEndToEnd:
         R_est = out[0].trafo[:3, :3]
         np.testing.assert_allclose(R_est @ R_est.T, np.eye(3), atol=1e-5)
 
+        # the threaded pipelined stream (retrieve on a worker thread so
+        # frame n's ICP overlaps frame n+1's dispatch) must match the sync
+        # path bitwise: ICP subsampling draws from the global np.random
+        # (reference icp_utils.py:269-270 parity), so both passes reseed —
+        # retrieves are serialized in submit order, making draw order equal
+        icp_frames = [
+            {"bboxes": [box], "color_img": bgr, "camK": cfg.K,
+             "depth_img": depth}
+            for _ in range(3)
+        ]
+        np.random.seed(7)
+        icp_sync = [srv_icp.process(**fr) for fr in icp_frames]
+        np.random.seed(7)
+        icp_streamed = list(
+            srv_icp.process_stream(iter(icp_frames), depth=2)
+        )
+        assert len(icp_streamed) == 3
+        for s_out, p_out in zip(icp_sync, icp_streamed):
+            np.testing.assert_allclose(
+                p_out[0].trafo, s_out[0].trafo, atol=0
+            )
+
         # crowded frame OVERFLOWS max_dets_per_class: a server with
         # max_dets=2 must chunk (not silently drop) and match the roomy
         # server detection-for-detection (regression: pre-round-3 the

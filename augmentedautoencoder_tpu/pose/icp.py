@@ -504,7 +504,11 @@ def _real_cloud(depth_crop, K_test, crop_offset=None):
     """Re-project the REAL depth crop once — it is pose-independent, so
     refine_batch shares one cloud across the depth-only and rotation-only
     stages instead of re-projecting per stage (PERF.md round-5 ICP
-    attribution). K handling matches _refinement_clouds' two geometries."""
+    attribution). K handling matches _refinement_clouds' two geometries.
+
+    Returns (pts (N,3), sq (N,)) with sq = per-point squared norms — the
+    pose-independent half of the centroid-distance gate, precomputed once
+    so both refinement passes gate via one matvec (see _gate_dists_sq)."""
     K_crop = np.asarray(K_test, np.float64).copy()
     if crop_offset is not None:
         left, top = (int(v) for v in crop_offset)
@@ -513,7 +517,17 @@ def _real_cloud(depth_crop, K_test, crop_offset=None):
     else:
         K_crop[0, 2] = depth_crop.shape[0] / 2
         K_crop[1, 2] = depth_crop.shape[1] / 2
-    return rgbd_to_point_cloud(K_crop, depth_crop)[0]
+    pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
+    return pts, np.einsum("ij,ij->i", pts, pts)
+
+
+def _gate_dists_sq(pts, pts_sq, centroid):
+    """Squared distances ||p - c||^2 as |p|^2 - 2 p.c + |c|^2 — one matvec
+    instead of an (N,3) temporary + square + sum + sqrt. With |p|^2 cached
+    across calls (the real cloud is gated once per refinement pass per
+    detection) this is the difference between ~65 ms and ~15 ms of gating
+    math per 24-detection frame pass (PERF.md round-5 prep profile)."""
+    return pts_sq - 2.0 * (pts @ centroid) + centroid @ centroid
 
 
 def _refinement_clouds(
@@ -538,8 +552,9 @@ def _refinement_clouds(
     lateral position (render_depth_window — a pure viewport crop of the
     full-frame render), so both clouds live in the true camera frame.
 
-    real_pts: the pre-projected real cloud (_real_cloud) — pass it when
-    refining multiple stages of the same detection; None re-projects here.
+    real_pts: the pre-projected real cloud as `_real_cloud`'s (pts, sq)
+    pair — pass it when refining multiple stages of the same detection;
+    None re-projects here.
     """
     rng = rng or np.random
     if crop_offset is not None:
@@ -554,31 +569,25 @@ def _refinement_clouds(
         synthetic_pts = rgbd_to_point_cloud(K_crop, syn_crop)[0]
         if len(synthetic_pts) == 0:
             return None
-        centroid_syn = synthetic_pts.mean(axis=0)
-        max_mean_dist = np.max(
-            np.linalg.norm(synthetic_pts - centroid_syn, axis=1)
-        )
         if real_pts is None:
-            real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
+            real_pts = _real_cloud(depth_crop, K_test, crop_offset=crop_offset)
     else:
         synthetic_pts = icp_renderer.generate_synthetic_depth(
             K_test, R_est, t_est, test_render_dims, obj_id=obj_id
         )
         if len(synthetic_pts) == 0:
             return None
-        centroid_syn = synthetic_pts.mean(axis=0)
-        max_mean_dist = np.max(
-            np.linalg.norm(synthetic_pts - centroid_syn, axis=1)
-        )
-
         if real_pts is None:
-            K_crop = np.asarray(K_test, np.float64).copy()
-            K_crop[0, 2] = depth_crop.shape[0] / 2
-            K_crop[1, 2] = depth_crop.shape[1] / 2
-            real_pts = rgbd_to_point_cloud(K_crop, depth_crop)[0]
+            real_pts = _real_cloud(depth_crop, K_test, crop_offset=None)
 
-    dist_to_syn = np.linalg.norm(real_pts - centroid_syn, axis=1)
-    real_pts = real_pts[dist_to_syn < max_mean_dist_factor * max_mean_dist]
+    centroid_syn = synthetic_pts.mean(axis=0)
+    syn_sq = np.einsum("ij,ij->i", synthetic_pts, synthetic_pts)
+    # squared-distance gate: same boolean as dist < factor * max_dist for
+    # non-negative operands, without the (N,3) temporaries and sqrts
+    max_mean_dist_sq = np.max(_gate_dists_sq(synthetic_pts, syn_sq, centroid_syn))
+    rp, rp_sq = real_pts
+    dist_sq_to_syn = _gate_dists_sq(rp, rp_sq, centroid_syn)
+    real_pts = rp[dist_sq_to_syn < max_mean_dist_factor**2 * max_mean_dist_sq]
 
     if len(real_pts) < len(synthetic_pts) / 8.0:
         return None  # not enough visible points
@@ -666,6 +675,7 @@ class ICP:
         tta: int = 1,
         fixed_idcs=None,
         crop_offsets=None,
+        stage2_candidates=None,
     ):
         """Batched 3-stage refinement for every estimate of a frame/scene.
 
@@ -684,6 +694,17 @@ class ICP:
         frame enables the frame-accurate cloud geometry (see
         `_refinement_clouds`); None keeps the reference's centered-render
         geometry.
+
+        `stage2_candidates` = (idcs (n, k), sims (n, k)) ranked codebook
+        candidates ALREADY queried for these crops. Stage 2 then needs no
+        encode/re-query at all: the encoder is deterministic, so re-running
+        it on the same crops would return the same ranked candidates — the
+        only stage-1 output it consumes is the corrected depth, which
+        enters the pose solve on the host (aggregate + _solve_6d with
+        depth_pred). PoseServer queried every crop at submit time, so its
+        ICP stage passes the fetched candidates here and the stage-2
+        encode+query leaves the serving critical path entirely
+        (PERF.md round-5 serving A/B follow-up).
 
         Same algorithm as per-estimate `refine`, but each device stage is
         ONE vmapped dispatch + ONE host fetch for all n estimates (vs ~3
@@ -739,7 +760,21 @@ class ICP:
         # stage 1: depth-only alignment
         R1s, t1s = batched_stage(Rs, ts, depth_only=True, no_depth=False)
         # stage 2: re-estimate x,y at the corrected depths (one encode batch)
-        if fixed_idcs is not None and codebook is not None:
+        if stage2_candidates is not None and codebook is not None:
+            from ..codebook import aggregate_candidates
+
+            idcs_k, sims_k = stage2_candidates
+            depth_pred = np.array([t[2] for t in t1s])
+            R0, rendered_bbs, _ = aggregate_candidates(
+                codebook.viewsphere, codebook.embed_obj_bbs,
+                np.asarray(idcs_k), np.asarray(sims_k),
+            )
+            R2s, t2s = codebook._solve_6d(
+                R0, rendered_bbs, np.stack(det_bbs), K_test, train_cfg,
+                depth_pred=depth_pred,
+            )
+            R1s, t1s = list(R2s), list(t2s)
+        elif fixed_idcs is not None and codebook is not None:
             depth_pred = np.array([t[2] for t in t1s])
             R2s, t2s = codebook.pose6d_from_indices(
                 np.asarray(fixed_idcs), np.stack(det_bbs), K_test, train_cfg,

@@ -70,7 +70,6 @@ class _FrameHandle:
     camPose: Optional[np.ndarray]
     mm: bool
     depth_img: Optional[np.ndarray] = None
-    host_crops: Optional[Dict[str, np.ndarray]] = None  # cls -> (B, h, w, c), ICP stage 2
 
 
 class PoseServer:
@@ -384,12 +383,11 @@ class PoseServer:
         )
         vals: Dict[str, object] = {}
         idcs: Dict[str, object] = {}
-        host_crops: Dict[str, np.ndarray] = {}
         prof = self._stage_timer()
         keep_vals = self._query_k > 1  # k=1 retrieve never reads the scores
         for cls, det_idcs in by_class.items():
             oi = self._oi_by_class[cls]
-            chunk_vals, chunk_idcs, chunk_crops = [], [], []
+            chunk_vals, chunk_idcs = [], []
             for start in range(0, len(det_idcs), self.max_dets):
                 chunk = det_idcs[start:start + self.max_dets]
                 crops = np.zeros(
@@ -420,19 +418,14 @@ class PoseServer:
                 if keep_vals:
                     chunk_vals.append(v)
                 chunk_idcs.append(i)
-                if want_icp:
-                    chunk_crops.append(crops)
             vals[cls] = chunk_vals
             idcs[cls] = chunk_idcs
-            if want_icp:
-                host_crops[cls] = np.concatenate(chunk_crops, axis=0)
         self.profile_frames += 1
         return _FrameHandle(
             vals=vals, idcs=idcs, by_class=by_class, box_xywhs=box_xywhs,
             bboxes=bboxes, camK=np.asarray(camK, np.float64),
             camPose=camPose, mm=mm,
             depth_img=depth_img if want_icp else None,
-            host_crops=host_crops if want_icp else None,
         )
 
     # --------------------------------------------------------------- retrieve
@@ -516,19 +509,31 @@ class PoseServer:
                         bottom = min(int(y + bh / 2 + size / 2), Hd)
                         depth_crops.append(h.depth_img[top:bottom, left:right])
                         crop_offsets.append((left, top))
+                    # stage 2 re-uses the submit-time query: the encoder is
+                    # deterministic, so re-encoding the same crops would
+                    # reproduce exactly these ranked candidates — pass them
+                    # instead of the crops and stage 2 costs no device work
+                    # (see ICP.refine_batch stage2_candidates)
+                    if self._est._topk_aggregate > 1:
+                        stage2, fixed = (cls_idcs, cls_vals), fixed_idcs
+                    elif fixed_idcs is not None:
+                        stage2, fixed = None, fixed_idcs
+                    else:
+                        stage2 = None
+                        fixed = (
+                            cls_idcs[:, 0] if cls_idcs.ndim == 2 else cls_idcs
+                        )
                     Rs_cls, ts_cls = self._est._icp_handle().refine_batch(
                         depth_crops, Rs_cls, ts_cls, K_test,
                         h.depth_img.shape[:2][::-1], class_name=cls,
                         codebook=self._est.all_codebooks[cls],
-                        det_imgs=[
-                            h.host_crops[cls][k] for k in range(len(det_idcs))
-                        ],
                         det_bbs=np.stack(
                             [h.box_xywhs[j] for j in det_idcs]
                         ).astype(np.float64),
                         train_cfg=cfg, upright=self._est._upright,
                         topk_aggregate=self._est._topk_aggregate,
-                        fixed_idcs=fixed_idcs,
+                        fixed_idcs=fixed,
+                        stage2_candidates=stage2,
                         crop_offsets=(
                             crop_offsets
                             if self._est._icp_frame_accurate else None

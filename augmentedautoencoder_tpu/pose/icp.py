@@ -580,16 +580,19 @@ def _refinement_clouds(
         if real_pts is None:
             real_pts = _real_cloud(depth_crop, K_test, crop_offset=None)
 
-    centroid_syn = synthetic_pts.mean(axis=0)
+    # axis-1 einsum reduction beats the strided axis-0 mean on (N,3) layout
+    centroid_syn = np.einsum("ij->j", synthetic_pts) / len(synthetic_pts)
     syn_sq = np.einsum("ij,ij->i", synthetic_pts, synthetic_pts)
     # squared-distance gate: same boolean as dist < factor * max_dist for
     # non-negative operands, without the (N,3) temporaries and sqrts
     max_mean_dist_sq = np.max(_gate_dists_sq(synthetic_pts, syn_sq, centroid_syn))
     rp, rp_sq = real_pts
     dist_sq_to_syn = _gate_dists_sq(rp, rp_sq, centroid_syn)
-    real_pts = rp[dist_sq_to_syn < max_mean_dist_factor**2 * max_mean_dist_sq]
+    gated = np.flatnonzero(
+        dist_sq_to_syn < max_mean_dist_factor**2 * max_mean_dist_sq
+    )
 
-    if len(real_pts) < len(synthetic_pts) / 8.0:
+    if len(gated) < len(synthetic_pts) / 8.0:
         return None  # not enough visible points
 
     # The reference draws min(len_real, len_syn, N) samples WITH replacement
@@ -598,9 +601,12 @@ def _refinement_clouds(
     # likely) with a constant sample count — statistically equivalent, and it
     # keeps the jitted ICP at ONE compiled shape per flag combination instead
     # of recompiling for every distinct visible-point count.
-    sub_real = rng.choice(len(real_pts), N_SUB)
+    # draw indices into the gated set, then gather only the N_SUB rows —
+    # same draws (choice over the same count, same rng stream) as gathering
+    # from a materialized gated copy, without copying ~30k points first
+    sub_real = gated[rng.choice(len(gated), N_SUB)]
     sub_syn = rng.choice(len(synthetic_pts), N_SUB)
-    return synthetic_pts[sub_syn], real_pts[sub_real]
+    return synthetic_pts[sub_syn], rp[sub_real]
 
 
 def _apply_refinement(T, R_est, t_est, no_depth=False):

@@ -27,15 +27,19 @@ def clouds(n, N, seed=0, scale=60.0, z=700.0):
 
 class TestBatchedNNPallas:
     def _check(self, src, dst):
-        dist_p, idx_p = batched_nn_pallas(src, dst, interpret=True)
         dist_x, idx_x = batched_nn_xla(src, dst)
-        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
-        # distances only feed the convergence mean; the kernel's fused
-        # |d|^2 - 2 s.d dot cancels differently than XLA's separate terms,
-        # so near-zero distances carry a few-micron absolute wobble
-        np.testing.assert_allclose(
-            np.asarray(dist_p), np.asarray(dist_x), rtol=1e-2, atol=5e-3
-        )
+        for scores in ("sweep", "vpu", "mxu"):  # both in-kernel score formulations
+            dist_p, idx_p = batched_nn_pallas(
+                src, dst, interpret=True, scores=scores
+            )
+            np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+            # distances only feed the convergence mean; the kernel's fused
+            # |d|^2 - 2 s.d dot cancels differently than XLA's separate
+            # terms, so near-zero distances carry a few-micron absolute
+            # wobble
+            np.testing.assert_allclose(
+                np.asarray(dist_p), np.asarray(dist_x), rtol=1e-2, atol=5e-3
+            )
 
     def test_matches_xla_at_production_shape(self):
         # N=3000 (the reference's subsample, icp_utils.py:14) pads to 3072:
